@@ -1,0 +1,1 @@
+from oracle.oracle import Oracle, build_oracle  # noqa: F401
