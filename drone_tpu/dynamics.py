@@ -107,9 +107,14 @@ def euler_step(pos, vel, quat, omega, thrusts, mass_eff, p):
 def rk4_step(pos, vel, quat, omega, thrusts, mass_eff, p):
     """Classic RK4 (thrusts held constant over the step); quat renormalized at
     the end only (intermediate quats intentionally unnormalized — same as
-    oracle). Combination order fixed: s + h6*(((k1 + 2*k2) + 2*k3) + k4)."""
+    oracle). Combination order fixed: s + h6*(((k1 + 2*k2) + 2*k3) + k4).
+
+    h6 is dt * (1/6 rounded to f32), NOT dt/6: XLA strength-reduces division
+    by a literal constant into multiplication by its reciprocal, so we write
+    the multiplication explicitly with the identical f32 constant on both
+    sides (C: p->dt * (1.0f / 6.0f))."""
     h2 = p.dt * 0.5
-    h6 = p.dt / 6.0
+    h6 = p.dt * (1.0 / 6.0)
 
     k1 = deriv(pos, vel, quat, omega, thrusts, mass_eff, p)
     s2 = (pos + h2 * k1[0], vel + h2 * k1[1], quat + h2 * k1[2], omega + h2 * k1[3])

@@ -210,7 +210,9 @@ static void euler_step(float *pos, float *vel, float *quat, float *omega,
 static void rk4_step(float *pos, float *vel, float *quat, float *omega,
                      const float F[4], float mass_eff, const DroneParams *p) {
   float h2 = p->dt * 0.5f;
-  float h6 = p->dt / 6.0f;
+  /* dt * (1/6): mirrors the JAX side, which must avoid dividing by a literal
+   * constant (XLA rewrites it to multiply-by-reciprocal). */
+  float h6 = p->dt * (1.0f / 6.0f);
   /* k[stage][component-group] */
   float k1p[3], k1v[3], k1q[4], k1w[3];
   float k2p[3], k2v[3], k2q[4], k2w[3];
