@@ -1,0 +1,61 @@
+"""Device mesh construction + sharding specs for the actor-learner layout.
+
+Layout (SURVEY.md §2.4, BASELINE.json:5): one mesh axis `data` over all chips
+(ICI within a host, DCN across hosts). Env state and rollouts are sharded
+along `data` (each chip steps its own drone shard — the analogue of the
+reference's per-worker env pools, minus the processes); params/optimizer are
+replicated; gradients/metrics are pmean'd over `data`.
+
+A `model` axis is intentionally absent: the reference has no tensor
+parallelism (policies are tiny MLPs, SURVEY.md §2.4 TP row); the mesh helper
+accepts an axis list so a model axis can be added without API changes.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def multihost_mesh(axis: str = "data") -> Mesh:
+    """Mesh over all devices of all hosts. Call after
+    jax.distributed.initialize() on multi-host pods; on a single host it is
+    identical to make_mesh()."""
+    return make_mesh(jax.devices(), axis)
+
+
+def runner_sharding(mesh: Mesh, runner, axis: str = "data"):
+    """PartitionSpec pytree for a ppo.RunnerState: env_state/last_obs sharded
+    on `axis`, everything else replicated."""
+    from drone_tpu.ppo import RunnerState
+
+    def spec_like(path_is_sharded):
+        return P(axis) if path_is_sharded else P()
+
+    replicated = jax.tree_util.tree_map(lambda _: P(), runner)
+    sharded_env = jax.tree_util.tree_map(lambda _: P(axis), runner.env_state)
+    return RunnerState(
+        params=replicated.params,
+        opt_state=replicated.opt_state,
+        env_state=sharded_env,
+        last_obs=P(axis),
+        key=P(),
+        update_idx=P(),
+    )
+
+
+def place_runner(mesh: Mesh, runner, axis: str = "data"):
+    """Device-put a host-built RunnerState onto the mesh with the canonical
+    sharding (env shards spread over chips, params replicated)."""
+    specs = runner_sharding(mesh, runner, axis)
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(runner, shardings)

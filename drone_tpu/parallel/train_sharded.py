@@ -1,0 +1,73 @@
+"""shard_map'd PPO train step: the full actor-learner fused across the mesh.
+
+This is the TPU-native form of the reference's distributed layout
+(SURVEY.md §3.1): instead of worker processes stepping C envs and DDP
+all-reducing torch gradients over NCCL, every chip rolls out its own env
+shard and the pmean inside the loss rides ICI/DCN XLA collectives
+(BASELINE.json:5: "envs sharded per host, learner sharded over ICI").
+
+Multi-host: call jax.distributed.initialize() first, build the mesh over
+jax.devices() (all hosts), and the same code runs unchanged — shard_map
+addresses the global mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.parallel.mesh import runner_sharding
+from drone_tpu.types import EnvParams, EnvStatics
+
+
+def make_sharded_train_step(
+    apply_fn,
+    optimizer,
+    env_params: EnvParams,
+    statics: EnvStatics,
+    cfg: ppo_mod.PPOConfig,
+    mesh: Mesh,
+    axis: str = "data",
+    example_runner=None,
+):
+    """Returns jitted train_step(runner) -> (runner, metrics) over `mesh`.
+
+    cfg.num_envs is the GLOBAL env count; each device steps
+    num_envs/len(devices) lanes. Params stay replicated (pmean'd grads are
+    provably identical across devices); per-device RNG is derived by folding
+    the replicated key with the device's axis index, while the carried key
+    advances identically everywhere so it stays replicated.
+    """
+    n_dev = mesh.devices.size
+    assert cfg.num_envs % n_dev == 0, (
+        f"num_envs ({cfg.num_envs}) must divide the mesh size ({n_dev})"
+    )
+    per_dev = cfg.num_envs // n_dev
+    inner = ppo_mod.make_train_step(
+        apply_fn, optimizer, env_params, statics, cfg,
+        axis_name=axis, envs_per_device=per_dev,
+    )
+
+    def body(runner: ppo_mod.RunnerState):
+        idx = jax.lax.axis_index(axis)
+        local = runner.replace(key=jax.random.fold_in(runner.key, idx))
+        runner2, metrics = inner(local)
+        # advance the carried key identically on every device -> replicated
+        runner2 = runner2.replace(key=jax.random.fold_in(runner.key, 0xFFFFFFFF))
+        return runner2, metrics
+
+    if example_runner is None:
+        raise ValueError("example_runner is required to derive sharding specs")
+    specs = runner_sharding(mesh, example_runner, axis)
+    metric_keys = None  # metrics are all replicated scalars
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
