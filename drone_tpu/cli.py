@@ -1,0 +1,94 @@
+"""CLI: `python -m drone_tpu.cli {train,eval,bench,sweep,export} [config.toml]
+[section.key=value ...]`.
+
+Rebuild of the reference's `puffer` console entry point (SURVEY.md §1 L4,
+§3.1/§3.3/§3.4: `puffer train puffer_drone`, `puffer eval`, `puffer sweep`,
+INI config + dotted overrides).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from drone_tpu.utils.config import Config
+
+
+def _load_config(args) -> Config:
+    config_path = args.config
+    overrides = list(args.overrides)
+    # `config` is optional; if the first positional looks like an override
+    # (contains '='), it is one — argparse can't disambiguate for us.
+    if config_path and "=" in config_path:
+        overrides.insert(0, config_path)
+        config_path = None
+    cfg = Config.from_toml(config_path) if config_path else Config.default()
+    return cfg.with_overrides(overrides)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="drone_tpu",
+        description="TPU-native quadrotor RL environment + trainer",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name, helptext in (
+        ("train", "run PPO training"),
+        ("eval", "evaluate a checkpoint"),
+        ("bench", "measure env throughput"),
+        ("sweep", "hyperparameter sweep ([sweep] section)"),
+        ("export", "export actor weights for the C runtime (DRNW)"),
+    ):
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("config", nargs="?", default=None,
+                       help="TOML config file (optional)")
+        p.add_argument("overrides", nargs="*",
+                       help="dotted overrides, e.g. train.lr=1e-4 env.task=waypoint")
+        if name == "export":
+            p.add_argument("--out", default="policy.drnw")
+    args = parser.parse_args(argv)
+    cfg = _load_config(args)
+
+    if args.cmd == "train":
+        from drone_tpu.train import train
+
+        train(cfg)
+    elif args.cmd == "eval":
+        from drone_tpu.train import evaluate
+
+        stats = evaluate(cfg)
+        print(json.dumps(stats, indent=2))
+    elif args.cmd == "bench":
+        import bench  # repo-root bench.py
+
+        bench.main()
+    elif args.cmd == "sweep":
+        from drone_tpu.sweep import run_sweep
+
+        results = run_sweep(cfg)
+        best = results[0]
+        print("best:", json.dumps(best))
+    elif args.cmd == "export":
+        from pathlib import Path
+
+        from drone_tpu.models import export_flat_weights
+        from drone_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(
+            Path(cfg.run.checkpoint_dir) / cfg.run.run_name / "checkpoints"
+        )
+        raw, _ = ckpt.restore_raw()
+        export_flat_weights(raw["params"], args.out, hidden=tuple(cfg.run.hidden))
+        # also dump the env params struct for the C demo (native/demo.c)
+        from oracle.oracle import params_to_c
+
+        statics, env_params = cfg.env.build()
+        with open(args.out + ".params", "wb") as f:
+            f.write(bytes(params_to_c(env_params)))
+        print(f"wrote {args.out} and {args.out}.params")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""Training driver: the outer loop around the fused train step.
+
+Rebuild of the reference's PuffeRL main loop (SURVEY.md §3.1): config -> env
+-> policy -> loop { fused rollout+learn on device } with metrics, periodic
+checkpoints, and exact resume. Unlike the reference there are no worker
+processes and no host<->device transfers in steady state — the host only
+reads back scalar metrics every log_interval updates.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+
+import drone_tpu
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.models import ActorCritic
+from drone_tpu.parallel import make_mesh, make_sharded_train_step
+from drone_tpu.parallel.mesh import place_runner
+from drone_tpu.utils.checkpoint import Checkpointer
+from drone_tpu.utils.config import Config
+from drone_tpu.utils.metrics import MetricsLogger, dashboard_line
+
+
+def build(cfg: Config):
+    """Config -> (env, model, optimizer, runner, step_fn, mesh|None)."""
+    statics, params = cfg.env.build()
+    env = drone_tpu.DroneEnv(task=statics.task, integrator=statics.integrator,
+                             params=params)
+    model = ActorCritic(hidden=tuple(cfg.run.hidden))
+    opt = ppo_mod.make_optimizer(cfg.train)
+    runner = ppo_mod.init_runner(model, env, cfg.train, seed=cfg.run.seed)
+
+    n_dev = len(jax.devices())
+    if cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0:
+        mesh = make_mesh()
+        runner = place_runner(mesh, runner)
+        step = make_sharded_train_step(
+            model.apply, opt, env.params, env.statics, cfg.train, mesh,
+            example_runner=runner,
+        )
+    else:
+        mesh = None
+        step = jax.jit(ppo_mod.make_train_step(
+            model.apply, opt, env.params, env.statics, cfg.train
+        ))
+    return env, model, opt, runner, step, mesh
+
+
+def train(cfg: Config, on_update=None):
+    """Run cfg.run.total_updates updates. Returns (runner, final_metrics)."""
+    env, model, opt, runner, step, mesh = build(cfg)
+
+    run_dir = Path(cfg.run.checkpoint_dir) / cfg.run.run_name
+    ckpt = Checkpointer(run_dir / "checkpoints")
+    start_update = 0
+    if cfg.run.resume_from:
+        restorer = Checkpointer(cfg.run.resume_from)
+        runner, start_update = restorer.restore(runner)
+        print(f"resumed from {cfg.run.resume_from} at update {start_update}")
+
+    metrics_path = cfg.run.metrics_path or (run_dir / "metrics.jsonl")
+    logger = MetricsLogger(metrics_path)
+
+    steps_per_update = cfg.train.horizon * cfg.train.num_envs
+    last = None
+    t_last = time.time()
+    for u in range(start_update, cfg.run.total_updates):
+        runner, m = step(runner)
+        if (u + 1) % cfg.run.log_interval == 0 or u == cfg.run.total_updates - 1:
+            jax.block_until_ready(m["loss"])
+            now = time.time()
+            sps = steps_per_update * cfg.run.log_interval / (now - t_last)
+            t_last = now
+            rec = logger.log((u + 1) * steps_per_update, m, sps=sps)
+            print(dashboard_line(u + 1, cfg.run.total_updates, rec), flush=True)
+            last = rec
+            if on_update is not None:
+                on_update(u + 1, rec)
+        if (u + 1) % cfg.run.checkpoint_interval == 0:
+            ckpt.save(u + 1, runner)
+    ckpt.save(cfg.run.total_updates, runner)
+    ckpt.wait()
+    logger.close()
+    return runner, last
+
+
+def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
+    """Roll out the (restored or given) policy and report episode stats."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    env, model, opt, fresh, step, mesh = build(cfg)
+    if runner is None:
+        restorer = Checkpointer(Path(cfg.run.checkpoint_dir) / cfg.run.run_name
+                                / "checkpoints")
+        runner, _ = restorer.restore(fresh)
+
+    params = runner.params
+    n = episodes
+    state = env.init_batch(cfg.run.seed + 1, n)
+
+    def policy(obs, key):
+        mean, log_std, _ = model.apply(params, obs)
+        if deterministic:
+            return mean, ()
+        noise = jax.random.normal(key, mean.shape)
+        return mean + jnp.exp(log_std) * noise, ()
+
+    from drone_tpu.rollout import rollout_policy
+
+    horizon = int(env.params.horizon) + 1
+    _, (out, _) = jax.jit(
+        lambda s, p: rollout_policy(s, policy, horizon, p, env.statics,
+                                    key=jax.random.PRNGKey(0))
+    )(state, env.params)
+    done = np.asarray(out.terminated | out.truncated)
+    rets = np.asarray(out.ep_return)[done]
+    lens = np.asarray(out.ep_length)[done]
+    return {
+        "episodes": int(done.sum()),
+        "ep_return_mean": float(rets.mean()) if rets.size else float("nan"),
+        "ep_return_std": float(rets.std()) if rets.size else float("nan"),
+        "ep_length_mean": float(lens.mean()) if lens.size else float("nan"),
+    }

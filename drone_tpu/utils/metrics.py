@@ -1,0 +1,58 @@
+"""Structured metrics: JSONL writer + console dashboard line.
+
+Rebuild of the reference's observability (SURVEY.md §5: rich live dashboard +
+W&B + TensorBoard `runs/`). JSONL is the durable format (greppable, no deps);
+metric names match the reference's so curves are comparable: SPS,
+episode_return, episode_length, losses.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+
+class MetricsLogger:
+    def __init__(self, path: str | Path | None = None):
+        self.path = Path(path) if path else None
+        if self.path:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a", buffering=1)
+        else:
+            self._f = None
+        self.t0 = time.time()
+
+    def log(self, step: int, metrics: dict, sps: float | None = None) -> dict:
+        rec = {
+            "ts": round(time.time() - self.t0, 3),
+            "global_step": int(step),
+            **{k: (float(v) if hasattr(v, "__float__") else v)
+               for k, v in metrics.items()},
+        }
+        if sps is not None:
+            rec["SPS"] = round(float(sps), 1)
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+def dashboard_line(update: int, total: int, rec: dict) -> str:
+    """One human-readable console line per log interval (the reference's
+    rich dashboard, reduced to what matters)."""
+    parts = [f"upd {update}/{total}"]
+    for k, fmt in (
+        ("SPS", "{:.2e}"),
+        ("ep_return_mean", "ret {:8.2f}"),
+        ("ep_length_mean", "len {:6.1f}"),
+        ("reward_mean", "rew {:7.3f}"),
+        ("loss", "loss {:7.3f}"),
+        ("approx_kl", "kl {:.4f}"),
+    ):
+        if k in rec:
+            parts.append(fmt.format(rec[k]) if "{" in fmt else f"{k} {rec[k]}")
+    return "  ".join(parts)

@@ -1,0 +1,137 @@
+/* demo.c — standalone deployment demo: trained policy + C env, zero Python.
+ *
+ * Rebuild of the reference's demo binary (SURVEY.md §2.2 #3, §3.3:
+ * `[U] pufferlib/ocean/drone/drone.c` main() — loads flat weights, runs
+ * PufferNet forward + c_step). The raylib 3-D client is replaced by a
+ * trajectory dump consumed by viz/viewer.py (raylib is not in this image;
+ * the renderer is not on the perf path, SURVEY.md §2.3).
+ *
+ * Usage: drone_demo <policy.drnw> [params.bin] [episodes] [task] [seed]
+ *   task: 0=hover 1=waypoint 2=racing
+ *   Writes trajectory of episode 0 to trajectory.csv (t,x,y,z,tx,ty,tz).
+ */
+
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stdint.h>
+
+#include "dronenet.h"
+
+/* Oracle API (oracle/drone_oracle.c). DroneParams layout must match. */
+#define MAX_GATES 8
+typedef struct {
+  float mass, gravity, arm_l, thrust_max, torque_coef;
+  float inertia_x, inertia_y, inertia_z;
+  float drag_lin, drag_ang, dt;
+  float target[3];
+  float bound, tilt_min;
+  int32_t horizon;
+  float c_vel, c_spin, c_act, crash_penalty, reach_bonus, reach_tol2;
+  float pos_radius, vel_max_init, rot_max_init, omega_max_init;
+  float dr_mass_lo, dr_mass_hi, dr_thrust_lo, dr_thrust_hi;
+  float wp_box, wp_zmin, wp_zmax;
+  float gates[MAX_GATES * 3];
+  int32_t n_gates;
+} DroneParams;
+
+void drone_lane_key(uint32_t seed, uint32_t lane, uint32_t out[2]);
+void drone_reset(float *fs, int32_t *is, const DroneParams *p, uint32_t k0,
+                 uint32_t k1, uint32_t episode, int task);
+void drone_observe(const float *fs, float *obs);
+void drone_step_keyed(float *fs, int32_t *is, const float *action,
+                      const DroneParams *p, uint32_t k0, uint32_t k1, int task,
+                      int integrator, float *obs, float *reward,
+                      int32_t *terminated, int32_t *truncated,
+                      float *ep_return, int32_t *ep_length);
+
+/* Defaults mirror drone_tpu/types.py default_params(). */
+static DroneParams default_params(void) {
+  DroneParams p;
+  memset(&p, 0, sizeof(p));
+  p.mass = 0.75f; p.gravity = 9.81f; p.arm_l = 0.08f; p.thrust_max = 4.6f;
+  p.torque_coef = 0.016f;
+  p.inertia_x = 0.0023f; p.inertia_y = 0.0023f; p.inertia_z = 0.004f;
+  p.drag_lin = 0.10f; p.drag_ang = 0.003f; p.dt = 0.01f;
+  p.target[0] = 0.0f; p.target[1] = 0.0f; p.target[2] = 1.5f;
+  p.bound = 5.0f; p.tilt_min = 0.0f; p.horizon = 1000;
+  p.c_vel = 0.02f; p.c_spin = 0.01f; p.c_act = 0.01f;
+  p.crash_penalty = -10.0f; p.reach_bonus = 10.0f; p.reach_tol2 = 0.09f;
+  p.pos_radius = 1.0f; p.vel_max_init = 0.5f; p.rot_max_init = 0.5f;
+  p.omega_max_init = 0.5f;
+  p.dr_mass_lo = 1.0f; p.dr_mass_hi = 1.0f;
+  p.dr_thrust_lo = 1.0f; p.dr_thrust_hi = 1.0f;
+  p.wp_box = 3.0f; p.wp_zmin = 0.8f; p.wp_zmax = 4.0f;
+  p.gates[0] = 2.0f;  p.gates[1] = 0.0f;  p.gates[2] = 1.5f;
+  p.gates[3] = 0.0f;  p.gates[4] = 2.0f;  p.gates[5] = 1.5f;
+  p.gates[6] = -2.0f; p.gates[7] = 0.0f;  p.gates[8] = 1.5f;
+  p.gates[9] = 0.0f;  p.gates[10] = -2.0f; p.gates[11] = 1.5f;
+  p.n_gates = 4;
+  return p;
+}
+
+int main(int argc, char **argv) {
+  if (argc < 2) {
+    fprintf(stderr, "usage: %s <policy.drnw> [params.bin] [episodes] [task] [seed]\n",
+            argv[0]);
+    return 2;
+  }
+  DroneNet net;
+  if (dronenet_load(&net, argv[1])) {
+    fprintf(stderr, "failed to load policy %s\n", argv[1]);
+    return 1;
+  }
+  DroneParams p = default_params();
+  if (argc > 2 && strcmp(argv[2], "-") != 0) {
+    FILE *f = fopen(argv[2], "rb");
+    if (!f || fread(&p, sizeof(p), 1, f) != 1) {
+      fprintf(stderr, "failed to load params %s\n", argv[2]);
+      return 1;
+    }
+    fclose(f);
+  }
+  int episodes = argc > 3 ? atoi(argv[3]) : 8;
+  int task = argc > 4 ? atoi(argv[4]) : 0;
+  uint32_t seed = argc > 5 ? (uint32_t)strtoul(argv[5], NULL, 10) : 42u;
+
+  float *scratch = malloc((size_t)dronenet_scratch_size(&net) * 4);
+  float fs[19];
+  int32_t is[4];
+  uint32_t key[2];
+  drone_lane_key(seed, 0, key);
+  drone_reset(fs, is, &p, key[0], key[1], 0, task);
+
+  FILE *traj = fopen("trajectory.csv", "w");
+  if (traj) fprintf(traj, "t,x,y,z,tx,ty,tz,reward\n");
+
+  float obs[13], action[4], reward, ep_return;
+  int32_t term, trunc, ep_length;
+  drone_observe(fs, obs);
+  int done_eps = 0;
+  double ret_sum = 0.0, len_sum = 0.0;
+  long t = 0;
+  while (done_eps < episodes) {
+    dronenet_forward(&net, obs, action, scratch);
+    drone_step_keyed(fs, is, action, &p, key[0], key[1], task, 0, obs, &reward,
+                     &term, &trunc, &ep_return, &ep_length);
+    if (traj && done_eps == 0)
+      fprintf(traj, "%ld,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f\n", t, fs[0],
+              fs[1], fs[2], fs[13], fs[14], fs[15], reward);
+    if (term || trunc) {
+      printf("episode %d: return %.2f length %d %s\n", done_eps, ep_return,
+             ep_length, term ? "(crash)" : "(horizon)");
+      ret_sum += ep_return;
+      len_sum += ep_length;
+      done_eps++;
+    }
+    t++;
+    if (t > 1000000) break; /* safety */
+  }
+  if (traj) fclose(traj);
+  printf("mean return %.2f  mean length %.1f  (%d episodes, pure C)\n",
+         ret_sum / (done_eps ? done_eps : 1),
+         len_sum / (done_eps ? done_eps : 1), done_eps);
+  dronenet_free(&net);
+  free(scratch);
+  return 0;
+}

