@@ -73,10 +73,10 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
 
     for rung_idx, updates in enumerate(rungs):
         for i, trial in enumerate(population):
-            c = apply_point(cfg, trial["point"])
+            c = apply_point(cfg, trial["point"])  # with_overrides copies cfg
             c.run.total_updates = int(updates)
             c.run.run_name = f"{cfg.run.run_name}-sweep-r{rung_idx}-t{i}"
-            c.run.checkpoint_interval = 10 ** 9  # no checkpoints during sweep
+            c.run.checkpoint_interval = 10**9  # no checkpoints during sweep
             final = train_fn(c)
             score = float(final.get(metric, float("-inf"))) if final else float("-inf")
             trial["scores"].append(score)

@@ -99,10 +99,22 @@ class Config:
         train = ppo_mod.PPOConfig(**data.get("train", {}))
         return cls(run=run, env=env, train=train, sweep=data.get("sweep", {}))
 
+    def copy(self) -> "Config":
+        """Independent copy: no dataclass or dict leaves shared with self.
+        (run/env are mutable dataclasses — sharing them across derived configs
+        made sweep trials mutate each other's run names.)"""
+        return Config(
+            run=dataclasses.replace(self.run),
+            env=dataclasses.replace(self.env, params=dict(self.env.params)),
+            train=dataclasses.replace(self.train),
+            sweep=dict(self.sweep),
+        )
+
     def with_overrides(self, overrides: list[str]) -> "Config":
         """Apply dotted CLI overrides: ['train.lr=1e-4', 'env.task=waypoint',
-        'env.params.mass=0.5', 'run.seed=3']."""
-        cfg = self
+        'env.params.mass=0.5', 'run.seed=3']. Returns a new Config; self is
+        never mutated."""
+        cfg = self.copy()
         for item in overrides:
             if "=" not in item:
                 raise ValueError(f"override must be section.key=value: {item!r}")

@@ -14,7 +14,7 @@ import pytest
 import drone_tpu
 from drone_tpu import ppo as ppo_mod
 from drone_tpu.models import ActorCritic, export_flat_weights, load_flat_weights
-from drone_tpu.utils.config import Config
+from drone_tpu.utils.config import Config, RunConfig
 
 
 REPO = Path(__file__).resolve().parent.parent
@@ -43,6 +43,30 @@ def test_config_from_toml():
     assert cfg.train.num_envs == 65536
     cfg2 = Config.from_toml(REPO / "configs" / "sweep_hover.toml")
     assert "train.lr" in cfg2.sweep["space"]
+
+
+def test_config_overrides_never_mutate_base():
+    """Regression: with_overrides used to share the mutable run/env dataclasses
+    with the base config, so sweep trials renamed each other's run dirs
+    (run_name grew like 'x-sweep-r0-t0-sweep-r0-t1-...')."""
+    base = Config.default()
+    derived = base.with_overrides(["train.lr=0.001"])
+    derived.run.run_name = "trial-0"
+    derived.run.total_updates = 7
+    derived.env.task = "waypoint"
+    derived.env.params["mass"] = 0.5
+    assert base.run.run_name == "run"
+    assert base.run.total_updates == RunConfig().total_updates
+    assert base.env.task == "hover"
+    assert "mass" not in base.env.params
+
+    # simulate two sweep trials derived from the same base
+    names = []
+    for i in range(3):
+        c = base.with_overrides([])
+        c.run.run_name = f"{base.run.run_name}-t{i}"
+        names.append(c.run.run_name)
+    assert names == ["run-t0", "run-t1", "run-t2"]
 
 
 def test_config_bad_override_rejected():
