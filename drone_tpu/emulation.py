@@ -1,0 +1,107 @@
+"""Gymnasium interoperability layer.
+
+Rebuild of the reference's emulation layer (SURVEY.md §2.2 #8:
+`[U] pufferlib/emulation.py` adapts third-party Gymnasium/PettingZoo envs to
+the Puffer API). The direction is inverted here — the drone env is native to
+this framework, so what third-party users need is the opposite adapter: this
+module exposes the JAX env as a standard `gymnasium.Env`, so it drops into
+any Gymnasium-based stack (SB3, CleanRL, ...).
+
+Gymnasium semantics differ from the internal (PufferEnv-style) convention in
+one place: on termination Gymnasium returns the TERMINAL observation and the
+user must call reset(), while the internal step auto-resets and returns the
+new episode's first obs. The adapter uses `env.step_terminal` to honor the
+Gymnasium contract exactly; the post-termination state is the auto-reset
+state, so `reset()` after a done step is free (and reproducible — episode
+RNG streams are counter-based).
+
+gymnasium is optional: if it isn't installed the adapter degrades to a
+structurally identical duck-typed class (same methods, drone_tpu.spaces.Box
+spaces).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from drone_tpu import env as env_mod
+from drone_tpu import spaces
+from drone_tpu.types import ACT_DIM, EnvParams
+
+try:  # pragma: no cover
+    import gymnasium as _gym
+
+    _EnvBase = _gym.Env
+except ImportError:  # pragma: no cover
+    _gym = None
+    _EnvBase = object
+
+
+class DroneGymnasium(_EnvBase):
+    """Single-drone `gymnasium.Env` over the fused JAX step.
+
+    >>> env = DroneGymnasium(task="hover")
+    >>> obs, info = env.reset(seed=0)
+    >>> obs, r, term, trunc, info = env.step(env.action_space.sample())
+    """
+
+    metadata = {"render_modes": []}
+
+    def __init__(self, task: str = "hover", integrator: str = "euler",
+                 params: EnvParams | None = None):
+        from drone_tpu.env import DroneEnv
+
+        self.env = DroneEnv(task=task, integrator=integrator, params=params)
+        self.observation_space = spaces.observation_space()
+        self.action_space = spaces.action_space()
+        p, statics = self.env.params, self.env.statics
+        self._step_fn = jax.jit(
+            lambda s, a: env_mod.step_terminal(s, a, p, statics)
+        )
+        self._state = None
+        self._needs_reset = True
+        self._seed = 0
+        self._lane = 0
+
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        if seed is not None:
+            self._seed = seed
+            self._state = self.env.init(seed, self._lane)
+        elif self._state is None:
+            self._state = self.env.init(self._seed, self._lane)
+        # else: the internal step already auto-reset; current state IS the
+        # fresh episode (counter-based RNG => same stream either way).
+        self._needs_reset = False
+        obs = np.asarray(self.env.observe(self._state))
+        return obs, {}
+
+    def step(self, action):
+        if self._needs_reset:
+            raise RuntimeError("episode is done — call reset() first")
+        action = np.asarray(action, np.float32).reshape(ACT_DIM)
+        state, out, terminal_obs = self._step_fn(self._state, action)
+        self._state = state
+        terminated = bool(out.terminated)
+        truncated = bool(out.truncated)
+        info = {}
+        if terminated or truncated:
+            self._needs_reset = True
+            obs = np.asarray(terminal_obs)
+            info["episode"] = {
+                "r": float(out.ep_return),
+                "l": int(out.ep_length),
+            }
+        else:
+            obs = np.asarray(out.obs)
+        return obs, float(out.reward), terminated, truncated, info
+
+    def render(self):  # trajectory rendering lives in viz/; nothing live here
+        return None
+
+    def close(self):
+        self._state = None
+
+
+def make_gymnasium(task: str = "hover", **kwargs) -> DroneGymnasium:
+    return DroneGymnasium(task=task, **kwargs)

@@ -70,13 +70,11 @@ def observe(state: EnvState) -> jnp.ndarray:
     return tasks.observation(state.pos, state.vel, state.quat, state.omega, state.target)
 
 
-def step(state: EnvState, action, p: EnvParams, statics: EnvStatics):
-    """One env step for one drone. Returns (next_state, StepOut).
-
-    Mirrors oracle drone_step. Branch-free: the auto-reset state is always
-    computed (counter-based RNG makes this side-effect free) and selected
-    per-lane with jnp.where.
-    """
+def _step_continued(state: EnvState, action, p: EnvParams, statics: EnvStatics):
+    """Physics + task + termination for one step, WITHOUT the auto-reset
+    select. Returns (continued_state, reward, crashed, truncated, done).
+    Split out so emulation.py can observe the terminal (pre-reset) state;
+    arithmetic order is the parity contract — do not reorder."""
     mass_eff = p.mass * state.dr_mass
     thrusts = mixing.mix(action, p, state.dr_thrust)
 
@@ -136,22 +134,51 @@ def step(state: EnvState, action, p: EnvParams, statics: EnvStatics):
         key0=state.key0,
         key1=state.key1,
     )
+    return continued, r, crashed, truncated, done
+
+
+def _finish_step(continued, r, crashed, truncated, done, p, statics):
+    """Auto-reset select + StepOut packing (shared by step / step_terminal)."""
     fresh = reset_state(
-        state.key0, state.key1, state.reset_count + jnp.uint32(1), p, statics
+        continued.key0, continued.key1, continued.reset_count + jnp.uint32(1),
+        p, statics,
     )
     next_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(done, a, b), fresh, continued
     )
-
     out = StepOut(
         obs=observe(next_state),
         reward=r,
         terminated=crashed,
         truncated=truncated,
-        ep_return=jnp.where(done, ep_return2, jnp.float32(0.0)),
-        ep_length=jnp.where(done, step2, jnp.int32(0)),
+        ep_return=jnp.where(done, continued.ep_return, jnp.float32(0.0)),
+        ep_length=jnp.where(done, continued.step, jnp.int32(0)),
     )
     return next_state, out
+
+
+def step(state: EnvState, action, p: EnvParams, statics: EnvStatics):
+    """One env step for one drone. Returns (next_state, StepOut).
+
+    Mirrors oracle drone_step. Branch-free: the auto-reset state is always
+    computed (counter-based RNG makes this side-effect free) and selected
+    per-lane with jnp.where.
+    """
+    continued, r, crashed, truncated, done = _step_continued(
+        state, action, p, statics
+    )
+    return _finish_step(continued, r, crashed, truncated, done, p, statics)
+
+
+def step_terminal(state: EnvState, action, p: EnvParams, statics: EnvStatics):
+    """Like `step` but additionally returns the observation of the terminal
+    (pre-auto-reset) state — what Gymnasium calls the final observation.
+    Used by drone_tpu.emulation; not on the training hot path."""
+    continued, r, crashed, truncated, done = _step_continued(
+        state, action, p, statics
+    )
+    next_state, out = _finish_step(continued, r, crashed, truncated, done, p, statics)
+    return next_state, out, observe(continued)
 
 
 class DroneEnv:

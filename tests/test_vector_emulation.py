@@ -1,0 +1,146 @@
+"""Vectorization facade + gymnasium emulation layer tests.
+
+Mirrors the reference's framework test strategy (SURVEY.md §4.1: vector
+backend equivalence — Serial vs Multiprocessing produce identical batches —
+and emulation round-trips). Here: "jit" vs "serial" backends must produce
+bitwise identical batches, and the gymnasium adapter must honor the
+gymnasium step/reset contract while staying trajectory-consistent with the
+internal auto-resetting step.
+"""
+
+import numpy as np
+import pytest
+
+import drone_tpu
+from drone_tpu import vector
+from drone_tpu.emulation import DroneGymnasium
+from tests.helpers import action_stream
+
+
+def test_make_and_spaces():
+    v = vector.make("hover", num_envs=4)
+    assert v.num_envs == 4
+    assert v.single_observation_space.shape == (13,)
+    assert v.single_action_space.shape == (4,)
+    assert np.all(v.single_action_space.low == -1.0)
+    obs, _ = v.reset(seed=0)
+    assert obs.shape == (4, 13)
+    assert obs is v.observations  # caller-visible preallocated buffer
+
+
+def test_backend_equivalence_bitwise():
+    """jit (vmapped) and serial (python loop) backends produce identical
+    batches — the analogue of the reference's Serial≡Multiprocessing test."""
+    T = 25
+    n = 6
+    acts = np.asarray(action_stream(T=T, n=n, seed=11), np.float32).reshape(T, n, 4)
+
+    traces = {}
+    for backend in vector.BACKENDS:
+        v = vector.make("waypoint", num_envs=n, backend=backend, seed=5)
+        v.reset()
+        rows = [v.observations.copy()]
+        rews = []
+        for t in range(T):
+            obs, rew, term, trunc, _ = v.step(acts[t])
+            rows.append(obs.copy())
+            rews.append(rew.copy())
+        traces[backend] = (np.stack(rows), np.stack(rews))
+
+    a_obs, a_rew = traces["jit"]
+    b_obs, b_rew = traces["serial"]
+    assert np.array_equal(a_obs.view(np.uint32), b_obs.view(np.uint32))
+    assert np.array_equal(a_rew.view(np.uint32), b_rew.view(np.uint32))
+
+
+def test_async_api_matches_sync():
+    n = 4
+    acts = np.asarray(action_stream(T=10, n=n, seed=3), np.float32).reshape(10, n, 4)
+    v1 = vector.make("hover", num_envs=n, seed=9)
+    v2 = vector.make("hover", num_envs=n, seed=9)
+    v1.reset()
+    v2.async_reset()
+    for t in range(10):
+        o1, r1, *_ = v1.step(acts[t])
+        v2.send(acts[t])
+        o2, r2, *_ = v2.recv()
+        assert np.array_equal(o1, o2)
+        assert np.array_equal(r1, r2)
+    with pytest.raises(RuntimeError):
+        v2.recv()  # nothing pending
+    v2.send(acts[0])
+    with pytest.raises(RuntimeError):
+        v2.send(acts[0])  # double send
+
+
+def test_vec_episode_infos():
+    """Crashing lanes must surface episode_return/length through infos."""
+    v = vector.make("hover", num_envs=8, seed=1)
+    v.reset()
+    full = np.full((8, 4), -1.0, np.float32)  # zero thrust -> fall to ground
+    seen = 0
+    for _ in range(400):
+        _, _, term, trunc, infos = v.step(full)
+        if infos:
+            assert infos["episode_length"].min() >= 1
+            seen += len(infos["episode_return"])
+    assert seen >= 8  # every lane crashed at least once
+
+
+def test_bad_backend_rejected():
+    with pytest.raises(ValueError):
+        vector.make("hover", num_envs=2, backend="multiprocessing")
+
+
+# --- gymnasium adapter -------------------------------------------------------
+
+def test_gymnasium_api_contract():
+    gym = pytest.importorskip("gymnasium")
+    env = DroneGymnasium(task="hover")
+    assert isinstance(env, gym.Env)
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (13,)
+    obs, r, term, trunc, info = env.step(np.zeros(4, np.float32))
+    assert isinstance(r, float) and not (term or trunc)
+
+    # run an episode to the end: terminal obs + episode info, then reset
+    env.reset(seed=0)
+    for t in range(2000):
+        obs, r, term, trunc, info = env.step(np.full(4, -1.0, np.float32))
+        if term or trunc:
+            break
+    assert term or trunc
+    assert "episode" in info and info["episode"]["l"] == t + 1
+    with pytest.raises(RuntimeError):
+        env.step(np.zeros(4))
+    obs2, _ = env.reset()
+    assert obs2.shape == (13,)
+
+
+def test_gymnasium_matches_internal_step():
+    """The adapter's trajectory equals the internal single-lane trajectory
+    (same seed, same actions), with gymnasium's terminal-obs convention the
+    only divergence."""
+    import jax
+
+    from drone_tpu import env as env_mod
+
+    T = 50
+    acts = np.asarray(action_stream(T=T, seed=21), np.float32).reshape(T, 4)
+    env = DroneGymnasium(task="hover")
+    obs, _ = env.reset(seed=4)
+
+    core = drone_tpu.DroneEnv(task="hover")
+    state = core.init(4, 0)
+    step = jax.jit(lambda s, a: env_mod.step(s, a, core.params, core.statics))
+    assert np.array_equal(obs, np.asarray(core.observe(state)))
+    for t in range(T):
+        gobs, gr, gterm, gtrunc, _ = env.step(acts[t])
+        state, out = step(state, acts[t])
+        assert np.float32(gr) == np.asarray(out.reward)
+        assert gterm == bool(out.terminated) and gtrunc == bool(out.truncated)
+        if gterm or gtrunc:
+            env.reset()
+        # post-(auto)reset both paths continue the same episode stream
+        gobs2, _ = (np.asarray(env.env.observe(env._state)), None)
+        assert np.array_equal(gobs2, np.asarray(out.obs))
