@@ -30,24 +30,21 @@ def multihost_mesh(axis: str = "data") -> Mesh:
     return make_mesh(jax.devices(), axis)
 
 
+_SHARDED_FIELDS = ("env_state", "last_obs", "carry")
+
+
 def runner_sharding(mesh: Mesh, runner, axis: str = "data"):
-    """PartitionSpec pytree for a ppo.RunnerState: env_state/last_obs sharded
-    on `axis`, everything else replicated."""
-    from drone_tpu.ppo import RunnerState
-
-    def spec_like(path_is_sharded):
-        return P(axis) if path_is_sharded else P()
-
+    """PartitionSpec pytree for a runner state (ppo.RunnerState or
+    ppo_rnn.RecurrentRunnerState): per-lane fields (env_state, last_obs, and
+    the LSTM carry if present) sharded on `axis`, params/optimizer/key
+    replicated."""
     replicated = jax.tree_util.tree_map(lambda _: P(), runner)
-    sharded_env = jax.tree_util.tree_map(lambda _: P(axis), runner.env_state)
-    return RunnerState(
-        params=replicated.params,
-        opt_state=replicated.opt_state,
-        env_state=sharded_env,
-        last_obs=P(axis),
-        key=P(),
-        update_idx=P(),
-    )
+    sharded = {
+        f: jax.tree_util.tree_map(lambda _: P(axis), getattr(runner, f))
+        for f in _SHARDED_FIELDS
+        if hasattr(runner, f)
+    }
+    return replicated.replace(**sharded)
 
 
 def place_runner(mesh: Mesh, runner, axis: str = "data"):

@@ -31,6 +31,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     axis: str = "data",
     example_runner=None,
+    recurrent: bool = False,
 ):
     """Returns jitted train_step(runner) -> (runner, metrics) over `mesh`.
 
@@ -39,18 +40,30 @@ def make_sharded_train_step(
     provably identical across devices); per-device RNG is derived by folding
     the replicated key with the device's axis index, while the carried key
     advances identically everywhere so it stays replicated.
+
+    With recurrent=True, apply_fn is the LSTM signature
+    (params, obs, carry) -> (mean, log_std, value, carry') and the runner is
+    a ppo_rnn.RecurrentRunnerState (carry sharded on `axis` like env_state).
     """
     n_dev = mesh.devices.size
     assert cfg.num_envs % n_dev == 0, (
         f"num_envs ({cfg.num_envs}) must divide the mesh size ({n_dev})"
     )
     per_dev = cfg.num_envs // n_dev
-    inner = ppo_mod.make_train_step(
-        apply_fn, optimizer, env_params, statics, cfg,
-        axis_name=axis, envs_per_device=per_dev,
-    )
+    if recurrent:
+        from drone_tpu import ppo_rnn
 
-    def body(runner: ppo_mod.RunnerState):
+        inner = ppo_rnn.make_recurrent_train_step(
+            apply_fn, optimizer, env_params, statics, cfg,
+            axis_name=axis, envs_per_device=per_dev,
+        )
+    else:
+        inner = ppo_mod.make_train_step(
+            apply_fn, optimizer, env_params, statics, cfg,
+            axis_name=axis, envs_per_device=per_dev,
+        )
+
+    def body(runner):
         idx = jax.lax.axis_index(axis)
         local = runner.replace(key=jax.random.fold_in(runner.key, idx))
         runner2, metrics = inner(local)

@@ -1,0 +1,284 @@
+"""Recurrent PPO: LSTM policy + truncated BPTT, fused rollout+learn.
+
+Rebuild of the reference trainer's recurrent path (SURVEY.md §2.2 #9-#10:
+`[U] pufferlib/pufferl.py` optional LSTM with truncated BPTT over rollout
+segments; `[U] pufferlib/models.py` LSTMWrapper). TPU-native form:
+
+  - The recurrent state (h, c) is an explicit pytree carried through the
+    rollout `lax.scan` and zeroed per-lane on auto-reset — the reference's
+    `done`-masked hidden state, branch-free.
+  - Truncated BPTT "segments" are simply the rollout horizon T: the update
+    re-runs the LSTM over the stored (T, B_mb) trajectory from the segment's
+    initial carry under `lax.scan`, so gradients flow through time within
+    the segment and stop at its boundary — exactly the reference's
+    time-chunked BPTT, with XLA unrolling/fusing the cell (SURVEY.md §5
+    "long-context" note: the scan horizon is this framework's sequence axis).
+  - Minibatches split the ENV axis (sequences stay whole), matching the
+    CleanRL/PuffeRL recurrent convention.
+
+The non-recurrent trainer lives in drone_tpu.ppo; shapes/conventions match
+so drone_tpu.parallel shards either via the same specs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from drone_tpu import env as env_mod
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.types import EnvParams, EnvStatics
+
+
+@flax.struct.dataclass
+class RecurrentRunnerState:
+    params: Any
+    opt_state: Any
+    env_state: Any           # batched (B, ...)
+    last_obs: jnp.ndarray    # (B, OBS_DIM)
+    carry: Any               # LSTM (h, c), each (B, hidden)
+    key: jnp.ndarray
+    update_idx: jnp.ndarray
+
+
+def _mask_carry(carry, done):
+    """Zero the recurrent state of lanes whose episode just ended."""
+    keep = (1.0 - done.astype(jnp.float32))[:, None]
+    return jax.tree_util.tree_map(lambda c: c * keep, carry)
+
+
+def make_recurrent_train_step(
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    env_params: EnvParams,
+    statics: EnvStatics,
+    cfg: ppo_mod.PPOConfig,
+    axis_name: str | None = None,
+    envs_per_device: int | None = None,
+):
+    """Build the fused recurrent train step.
+
+    apply_fn(params, obs, carry) -> (mean, log_std, value, carry')
+    Returns train_step(RecurrentRunnerState) -> (RecurrentRunnerState, metrics).
+    """
+    local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
+    assert local_envs % cfg.num_minibatches == 0, (
+        f"num_envs per device ({local_envs}) must divide into "
+        f"{cfg.num_minibatches} minibatches (recurrent PPO minibatches lanes)"
+    )
+    mb_lanes = local_envs // cfg.num_minibatches
+
+    def rollout_body(carry, key_t):
+        env_state, obs, lstm, params = carry
+        mean, log_std, value, lstm2 = apply_fn(params, obs, lstm)
+        noise = jax.random.normal(key_t, mean.shape, mean.dtype)
+        action = mean + jnp.exp(log_std) * noise
+        logp = ppo_mod.gaussian_logp(action, mean, log_std)
+        env_state2, out = jax.vmap(
+            lambda s, a: env_mod.step(s, a, env_params, statics)
+        )(env_state, action)
+        done = out.terminated | out.truncated
+        lstm3 = _mask_carry(lstm2, done)
+        t = ppo_mod.Transition(
+            obs=obs,
+            action=action,
+            logp=logp,
+            value=value,
+            reward=out.reward,
+            done=done,
+            ep_return=out.ep_return,
+            ep_length=out.ep_length,
+        )
+        return (env_state2, out.obs, lstm3, params), t
+
+    @flax.struct.dataclass
+    class MB:
+        obs: jnp.ndarray      # (T, L, OBS_DIM)
+        action: jnp.ndarray   # (T, L, ACT_DIM)
+        logp: jnp.ndarray     # (T, L)
+        value: jnp.ndarray    # (T, L)
+        done: jnp.ndarray     # (T, L) bool
+        adv: jnp.ndarray      # (T, L)
+        ret: jnp.ndarray      # (T, L)
+        carry0: Any           # LSTM carry at segment start, (L, hidden)
+
+    def loss_fn(params, mb: MB):
+        # re-run the LSTM over the segment from its initial carry (BPTT)
+        def fwd(lstm, xs):
+            obs_t, done_t = xs
+            mean, log_std, value, lstm2 = apply_fn(params, obs_t, lstm)
+            lstm3 = _mask_carry(lstm2, done_t)
+            return lstm3, (mean, log_std, value)
+
+        _, (mean, log_std, value) = jax.lax.scan(
+            fwd, mb.carry0, (mb.obs, mb.done)
+        )
+        logp = ppo_mod.gaussian_logp(mb.action, mean, log_std)
+        ratio = jnp.exp(logp - mb.logp)
+        pg1 = -mb.adv * ratio
+        pg2 = -mb.adv * jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
+        pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
+        v_clipped = mb.value + jnp.clip(value - mb.value, -cfg.vf_clip, cfg.vf_clip)
+        v_loss = 0.5 * jnp.mean(
+            jnp.maximum((value - mb.ret) ** 2, (v_clipped - mb.ret) ** 2)
+        )
+        ent = jnp.mean(ppo_mod.gaussian_entropy(log_std))
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        approx_kl = jnp.mean(mb.logp - logp)
+        clipfrac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_eps).astype(jnp.float32))
+        return total, dict(
+            pg_loss=pg_loss,
+            v_loss=v_loss,
+            entropy=ent,
+            approx_kl=approx_kl,
+            clipfrac=clipfrac,
+        )
+
+    def train_step(runner: RecurrentRunnerState):
+        key, krollout, kperm = jax.random.split(runner.key, 3)
+        step_keys = jax.random.split(krollout, cfg.horizon)
+
+        carry0 = runner.carry  # segment-initial recurrent state (BPTT anchor)
+        (env_state, last_obs, last_carry, _), traj = jax.lax.scan(
+            rollout_body,
+            (runner.env_state, runner.last_obs, carry0, runner.params),
+            step_keys,
+        )
+
+        _, _, last_value, _ = apply_fn(runner.params, last_obs, last_carry)
+        adv, ret = ppo_mod.compute_gae(
+            traj.reward, traj.value, traj.done.astype(jnp.float32), last_value,
+            cfg.gamma, cfg.gae_lambda,
+        )
+        if axis_name is not None:
+            g_mean = jax.lax.pmean(jnp.mean(adv), axis_name)
+            g_var = jax.lax.pmean(jnp.mean((adv - g_mean) ** 2), axis_name)
+        else:
+            g_mean = jnp.mean(adv)
+            g_var = jnp.var(adv)
+        adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
+
+        def epoch_body(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, local_envs)
+
+            def mb_body(carry, mb_idx):
+                params, opt_state = carry
+                take = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * mb_lanes, mb_lanes
+                )
+                mb = MB(
+                    obs=traj.obs[:, take],
+                    action=traj.action[:, take],
+                    logp=traj.logp[:, take],
+                    value=traj.value[:, take],
+                    done=traj.done[:, take],
+                    adv=adv[:, take],
+                    ret=ret[:, take],
+                    carry0=jax.tree_util.tree_map(lambda c: c[take], carry0),
+                )
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb
+                )
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux)
+
+            carry, losses = jax.lax.scan(
+                mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches)
+            )
+            return carry, losses
+
+        epoch_keys = jax.random.split(kperm, cfg.epochs)
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
+            epoch_body, (runner.params, runner.opt_state), epoch_keys
+        )
+
+        n_done = jnp.sum(traj.done)
+        metrics = dict(
+            loss=jnp.mean(losses),
+            reward_mean=jnp.mean(traj.reward),
+            episodes=n_done.astype(jnp.float32),
+            ep_return_mean=jnp.sum(traj.ep_return) / jnp.maximum(n_done, 1),
+            ep_length_mean=jnp.sum(traj.ep_length) / jnp.maximum(n_done, 1),
+            **{k: jnp.mean(v) for k, v in auxes.items()},
+        )
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+
+        runner2 = RecurrentRunnerState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            last_obs=last_obs,
+            carry=last_carry,
+            key=key,
+            update_idx=runner.update_idx + 1,
+        )
+        return runner2, metrics
+
+    return train_step
+
+
+def init_recurrent_runner(
+    model, env, cfg: ppo_mod.PPOConfig, seed: int = 0, envs: int | None = None,
+    optimizer: optax.GradientTransformation | None = None,
+) -> RecurrentRunnerState:
+    """Fresh RecurrentRunnerState (model: LSTMActorCritic-compatible)."""
+    n = envs if envs is not None else cfg.num_envs
+    key = jax.random.PRNGKey(seed)
+    key, kinit = jax.random.split(key)
+    env_state = env.init_batch(seed, n)
+    obs = env.observe_batch(env_state)
+    carry = model.initial_carry((n,))
+    params = model.init(
+        kinit, obs[:1], jax.tree_util.tree_map(lambda c: c[:1], carry)
+    )
+    opt = optimizer if optimizer is not None else ppo_mod.make_optimizer(cfg)
+    opt_state = opt.init(params)
+    return RecurrentRunnerState(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        last_obs=obs,
+        carry=carry,
+        key=key,
+        update_idx=jnp.int32(0),
+    )
+
+
+def rollout_recurrent(model, params, env, state, carry, steps: int,
+                      key=None, deterministic: bool = True):
+    """Policy rollout for evaluation: returns (final_state, final_carry,
+    StepOut stacked over T)."""
+    obs0 = env.observe_batch(state)
+    p, statics = env.params, env.statics
+
+    def body(c, key_t):
+        s, obs, lstm = c
+        mean, log_std, _, lstm2 = model.apply(params, obs, lstm)
+        if deterministic:
+            action = mean
+        else:
+            action = mean + jnp.exp(log_std) * jax.random.normal(
+                key_t, mean.shape, mean.dtype
+            )
+        s2, out = jax.vmap(lambda ss, aa: env_mod.step(ss, aa, p, statics))(s, action)
+        lstm3 = _mask_carry(lstm2, out.terminated | out.truncated)
+        return (s2, out.obs, lstm3), out
+
+    keys = (
+        jax.random.split(key, steps)
+        if key is not None
+        else jnp.zeros((steps, 2), jnp.uint32)
+    )
+    (final_state, _, final_carry), outs = jax.lax.scan(
+        body, (state, obs0, carry), keys
+    )
+    return final_state, final_carry, outs

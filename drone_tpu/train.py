@@ -29,9 +29,24 @@ def build(cfg: Config):
     statics, params = cfg.env.build()
     env = drone_tpu.DroneEnv(task=statics.task, integrator=statics.integrator,
                              params=params)
-    model = ActorCritic(hidden=tuple(cfg.run.hidden))
+    recurrent = cfg.run.policy == "lstm"
+    if recurrent:
+        from drone_tpu import ppo_rnn
+        from drone_tpu.models import LSTMActorCritic
+
+        model = LSTMActorCritic(hidden=cfg.run.lstm_hidden,
+                                encoder=tuple(cfg.run.hidden)[:1])
+        init_fn = ppo_rnn.init_recurrent_runner
+        step_builder = ppo_rnn.make_recurrent_train_step
+    elif cfg.run.policy == "mlp":
+        model = ActorCritic(hidden=tuple(cfg.run.hidden))
+        init_fn = ppo_mod.init_runner
+        step_builder = ppo_mod.make_train_step
+    else:
+        raise ValueError(f"run.policy must be 'mlp' or 'lstm', got "
+                         f"{cfg.run.policy!r}")
     opt = ppo_mod.make_optimizer(cfg.train)
-    runner = ppo_mod.init_runner(model, env, cfg.train, seed=cfg.run.seed)
+    runner = init_fn(model, env, cfg.train, seed=cfg.run.seed)
 
     n_dev = len(jax.devices())
     if cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0:
@@ -39,11 +54,11 @@ def build(cfg: Config):
         runner = place_runner(mesh, runner)
         step = make_sharded_train_step(
             model.apply, opt, env.params, env.statics, cfg.train, mesh,
-            example_runner=runner,
+            example_runner=runner, recurrent=recurrent,
         )
     else:
         mesh = None
-        step = jax.jit(ppo_mod.make_train_step(
+        step = jax.jit(step_builder(
             model.apply, opt, env.params, env.statics, cfg.train
         ))
     return env, model, opt, runner, step, mesh
@@ -101,21 +116,32 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
     params = runner.params
     n = episodes
     state = env.init_batch(cfg.run.seed + 1, n)
-
-    def policy(obs, key):
-        mean, log_std, _ = model.apply(params, obs)
-        if deterministic:
-            return mean, ()
-        noise = jax.random.normal(key, mean.shape)
-        return mean + jnp.exp(log_std) * noise, ()
-
-    from drone_tpu.rollout import rollout_policy
-
     horizon = int(env.params.horizon) + 1
-    _, (out, _) = jax.jit(
-        lambda s, p: rollout_policy(s, policy, horizon, p, env.statics,
-                                    key=jax.random.PRNGKey(0))
-    )(state, env.params)
+
+    if cfg.run.policy == "lstm":
+        from drone_tpu import ppo_rnn
+
+        carry = model.initial_carry((n,))
+        _, _, out = jax.jit(
+            lambda s, c: ppo_rnn.rollout_recurrent(
+                model, params, env, s, c, horizon,
+                key=jax.random.PRNGKey(0), deterministic=deterministic,
+            )
+        )(state, carry)
+    else:
+        def policy(obs, key):
+            mean, log_std, _ = model.apply(params, obs)
+            if deterministic:
+                return mean, ()
+            noise = jax.random.normal(key, mean.shape)
+            return mean + jnp.exp(log_std) * noise, ()
+
+        from drone_tpu.rollout import rollout_policy
+
+        _, (out, _) = jax.jit(
+            lambda s, p: rollout_policy(s, policy, horizon, p, env.statics,
+                                        key=jax.random.PRNGKey(0))
+        )(state, env.params)
     done = np.asarray(out.terminated | out.truncated)
     rets = np.asarray(out.ep_return)[done]
     lens = np.asarray(out.ep_length)[done]

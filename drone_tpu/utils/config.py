@@ -34,6 +34,8 @@ class RunConfig:
     resume_from: str = ""           # checkpoint dir to resume from
     mesh: bool = True               # shard over all local devices
     hidden: tuple = (64, 64)
+    policy: str = "mlp"             # "mlp" | "lstm" (recurrent PPO w/ BPTT)
+    lstm_hidden: int = 128
 
 
 @dataclasses.dataclass
