@@ -11,8 +11,14 @@ with zero Python). Format ("DRNW" v1, little-endian):
                (0=none, 1=tanh), float32 W[in*out] (row-major, W[i*out+j]),
                float32 b[out]
 
-The exported network is the deterministic actor: obs -> tanh MLP ->
-action mean (log_std is not needed for deployment).
+The exported network is the deterministic actor: obs -> encoder ->
+[optional LSTM] -> action mean (log_std is not needed for deployment).
+
+v2 adds recurrent policies: each layer is prefixed by an int32 kind
+(0=dense as in v1; 1=lstm: int32 in_dim, int32 hidden, then the flax
+LSTMCell kernels in gate order i,f,g,o — input kernels Wi[in*hidden] x4
+(flax OptimizedLSTMCell has no input bias), recurrent kernels
+Wh[hidden*hidden] x4, recurrent biases bh[hidden] x4).
 """
 
 from __future__ import annotations
@@ -24,43 +30,95 @@ import numpy as np
 MAGIC = 0x44524E57
 ACT_NONE = 0
 ACT_TANH = 1
+KIND_DENSE = 0
+KIND_LSTM = 1
+_GATES = ("i", "f", "g", "o")  # flax LSTMCell gate order
+
+
+def _dense(p, name, act):
+    d = p[name]
+    return ("dense", np.asarray(d["kernel"], np.float32),
+            np.asarray(d["bias"], np.float32), act)
 
 
 def export_flat_weights(params, path: str, hidden=(64, 64)) -> None:
-    """Export the actor tower of an ActorCritic params pytree to `path`."""
+    """Export the actor tower of a params pytree to `path`.
+
+    MLP (ActorCritic) params -> DRNW v1; LSTM (LSTMActorCritic) params ->
+    DRNW v2 (detected by the presence of the 'lstm' collection).
+    """
     p = params["params"] if "params" in params else params
     layers = []
-    for i, _ in enumerate(hidden):
-        d = p[f"actor_h{i}"]
-        layers.append((np.asarray(d["kernel"], np.float32),
-                       np.asarray(d["bias"], np.float32), ACT_TANH))
-    d = p["actor_mean"]
-    layers.append((np.asarray(d["kernel"], np.float32),
-                   np.asarray(d["bias"], np.float32), ACT_NONE))
+    if "lstm" in p:
+        i = 0
+        while f"enc_h{i}" in p:
+            layers.append(_dense(p, f"enc_h{i}", ACT_TANH))
+            i += 1
+        lp = p["lstm"]
+        wi = [np.asarray(lp[f"i{g}"]["kernel"], np.float32) for g in _GATES]
+        wh = [np.asarray(lp[f"h{g}"]["kernel"], np.float32) for g in _GATES]
+        bh = [np.asarray(lp[f"h{g}"]["bias"], np.float32) for g in _GATES]
+        layers.append(("lstm", wi, wh, bh))
+        layers.append(_dense(p, "actor_mean", ACT_NONE))
+        version = 2
+    else:
+        for i, _ in enumerate(hidden):
+            layers.append(_dense(p, f"actor_h{i}", ACT_TANH))
+        layers.append(_dense(p, "actor_mean", ACT_NONE))
+        version = 1
 
     with open(path, "wb") as f:
-        f.write(struct.pack("<iii", MAGIC, 1, len(layers)))
-        for w, b, act in layers:
-            in_dim, out_dim = w.shape
-            f.write(struct.pack("<iii", in_dim, out_dim, act))
-            f.write(w.astype("<f4").tobytes(order="C"))
-            f.write(b.astype("<f4").tobytes(order="C"))
+        f.write(struct.pack("<iii", MAGIC, version, len(layers)))
+        for layer in layers:
+            if layer[0] == "dense":
+                _, w, b, act = layer
+                if version >= 2:
+                    f.write(struct.pack("<i", KIND_DENSE))
+                in_dim, out_dim = w.shape
+                f.write(struct.pack("<iii", in_dim, out_dim, act))
+                f.write(w.astype("<f4").tobytes(order="C"))
+                f.write(b.astype("<f4").tobytes(order="C"))
+            else:
+                _, wi, wh, bh = layer
+                in_dim, hid = wi[0].shape
+                f.write(struct.pack("<iii", KIND_LSTM, in_dim, hid))
+                for m in wi:
+                    f.write(m.astype("<f4").tobytes(order="C"))
+                for m in wh:
+                    f.write(m.astype("<f4").tobytes(order="C"))
+                for v in bh:
+                    f.write(v.astype("<f4").tobytes(order="C"))
 
 
 def load_flat_weights(path: str):
-    """Read a DRNW file back into a list of (W, b, activation)."""
+    """Read a DRNW file back into a layer list: ('dense', W, b, act) and
+    ('lstm', wi[4], wh[4], bh[4]) entries."""
     layers = []
     with open(path, "rb") as f:
         magic, version, n = struct.unpack("<iii", f.read(12))
         if magic != MAGIC:
             raise ValueError(f"bad magic {magic:#x}")
-        if version != 1:
+        if version not in (1, 2):
             raise ValueError(f"unsupported version {version}")
+
+        def floats(shape):
+            count = int(np.prod(shape))
+            return np.frombuffer(f.read(4 * count), "<f4").reshape(shape)
+
         for _ in range(n):
-            in_dim, out_dim, act = struct.unpack("<iii", f.read(12))
-            w = np.frombuffer(f.read(4 * in_dim * out_dim), "<f4").reshape(
-                in_dim, out_dim
-            )
-            b = np.frombuffer(f.read(4 * out_dim), "<f4")
-            layers.append((w, b, act))
+            kind = KIND_DENSE
+            if version >= 2:
+                (kind,) = struct.unpack("<i", f.read(4))
+            if kind == KIND_DENSE:
+                in_dim, out_dim, act = struct.unpack("<iii", f.read(12))
+                layers.append(("dense", floats((in_dim, out_dim)),
+                               floats((out_dim,)), act))
+            elif kind == KIND_LSTM:
+                in_dim, hid = struct.unpack("<ii", f.read(8))
+                wi = [floats((in_dim, hid)) for _ in _GATES]
+                wh = [floats((hid, hid)) for _ in _GATES]
+                bh = [floats((hid,)) for _ in _GATES]
+                layers.append(("lstm", wi, wh, bh))
+            else:
+                raise ValueError(f"unknown layer kind {kind}")
     return layers

@@ -95,6 +95,8 @@ int main(int argc, char **argv) {
   uint32_t seed = argc > 5 ? (uint32_t)strtoul(argv[5], NULL, 10) : 42u;
 
   float *scratch = malloc((size_t)dronenet_scratch_size(&net) * 4);
+  float *state = net.state_size ? malloc((size_t)net.state_size * 4) : NULL;
+  dronenet_reset_state(&net, state); /* zero recurrent state (LSTM policies) */
   float fs[19];
   int32_t is[4];
   uint32_t key[2];
@@ -111,7 +113,7 @@ int main(int argc, char **argv) {
   double ret_sum = 0.0, len_sum = 0.0;
   long t = 0;
   while (done_eps < episodes) {
-    dronenet_forward(&net, obs, action, scratch);
+    dronenet_forward(&net, obs, action, scratch, state);
     drone_step_keyed(fs, is, action, &p, key[0], key[1], task, 0, obs, &reward,
                      &term, &trunc, &ep_return, &ep_length);
     if (traj && done_eps == 0)
@@ -123,6 +125,7 @@ int main(int argc, char **argv) {
       ret_sum += ep_return;
       len_sum += ep_length;
       done_eps++;
+      dronenet_reset_state(&net, state); /* new episode -> zero carry */
     }
     t++;
     if (t > 1000000) break; /* safety */
@@ -133,5 +136,6 @@ int main(int argc, char **argv) {
          len_sum / (done_eps ? done_eps : 1), done_eps);
   dronenet_free(&net);
   free(scratch);
+  free(state);
   return 0;
 }

@@ -82,11 +82,11 @@ def test_weight_export_roundtrip(tmp_path):
     path = tmp_path / "w.drnw"
     export_flat_weights(params, str(path), hidden=(16, 16))
     layers = load_flat_weights(str(path))
-    assert [w.shape for w, _, _ in layers] == [(13, 16), (16, 16), (16, 4)]
+    assert [l[1].shape for l in layers] == [(13, 16), (16, 16), (16, 4)]
     # numpy forward == flax forward (same tanh, fp32; tight tolerance)
     obs = np.random.RandomState(0).randn(5, 13).astype(np.float32)
     x = obs
-    for w, b, act in layers:
+    for _, w, b, act in layers:
         x = x @ w + b
         if act == 1:
             x = np.tanh(x)
@@ -99,6 +99,87 @@ def demo_binary():
     subprocess.run(["make", "-C", str(REPO / "native")], check=True,
                    capture_output=True)
     return REPO / "native" / "drone_demo"
+
+
+def _ctypes_net(path):
+    """ctypes handle to libdronenet + a loaded DroneNet for `path`."""
+    import ctypes as ct
+
+    lib = ct.CDLL(str(REPO / "native" / "libdronenet.so"))
+    net = ct.create_string_buffer(16 * 1024)  # > sizeof(DroneNet)
+    assert lib.dronenet_load(net, str(path).encode()) == 0
+    lib.dronenet_scratch_size.restype = ct.c_int
+    return lib, net
+
+
+def _c_forward(lib, net, obs, state=None):
+    import ctypes as ct
+
+    scratch = np.zeros(lib.dronenet_scratch_size(net), np.float32)
+    out = np.zeros(4, np.float32)
+    obs = np.ascontiguousarray(obs, np.float32)
+    fp = ct.POINTER(ct.c_float)
+    st = state.ctypes.data_as(fp) if state is not None else None
+    lib.dronenet_forward(net, obs.ctypes.data_as(fp),
+                         out.ctypes.data_as(fp),
+                         scratch.ctypes.data_as(fp), st)
+    return out
+
+
+def test_c_forward_matches_flax_mlp(tmp_path, demo_binary):
+    """libdronenet dense forward == flax ActorCritic actor mean."""
+    model = ActorCritic(hidden=(16, 16))
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 13)))
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path), hidden=(16, 16))
+    lib, net = _ctypes_net(path)
+    obs = np.random.RandomState(1).randn(8, 13).astype(np.float32)
+    mean, _, _ = model.apply(params, jnp.asarray(obs))
+    for i in range(8):
+        np.testing.assert_allclose(
+            _c_forward(lib, net, obs[i]), np.asarray(mean[i]),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_c_forward_matches_flax_lstm(tmp_path, demo_binary):
+    """libdronenet LSTM forward (DRNW v2) tracks flax LSTMActorCritic over a
+    multi-step sequence, including a mid-sequence state reset."""
+    from drone_tpu.models import LSTMActorCritic
+
+    model = LSTMActorCritic(hidden=8, encoder=(16,))
+    carry = model.initial_carry((1,))
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 13)), carry)
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path))
+    lib, net = _ctypes_net(path)
+
+    state = np.zeros(2 * 8, np.float32)  # h + c for hidden=8
+
+    obs = np.random.RandomState(2).randn(12, 13).astype(np.float32)
+    for t in range(12):
+        if t == 6:  # episode boundary: both sides reset their carry
+            state[:] = 0.0
+            carry = model.initial_carry((1,))
+        mean, _, _, carry = model.apply(params, jnp.asarray(obs[t : t + 1]), carry)
+        c_out = _c_forward(lib, net, obs[t], state)
+        np.testing.assert_allclose(
+            c_out, np.asarray(mean[0]), rtol=2e-5, atol=2e-6,
+            err_msg=f"diverged at t={t}")
+
+
+def test_drnw_v2_roundtrip(tmp_path):
+    from drone_tpu.models import LSTMActorCritic
+
+    model = LSTMActorCritic(hidden=8, encoder=(16,))
+    params = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 13)),
+                        model.initial_carry((1,)))
+    path = tmp_path / "w2.drnw"
+    export_flat_weights(params, str(path))
+    layers = load_flat_weights(str(path))
+    kinds = [l[0] for l in layers]
+    assert kinds == ["dense", "lstm", "dense"]
+    _, wi, wh, bh = layers[1]
+    assert wi[0].shape == (16, 8) and wh[0].shape == (8, 8) and bh[0].shape == (8,)
 
 
 def test_native_inference_matches_flax(tmp_path, demo_binary):
