@@ -25,10 +25,10 @@ import numpy as np
 
 def main():
     import drone_tpu
+    from drone_tpu import env as env_mod
     from drone_tpu.models import ActorCritic
-    from drone_tpu.rollout import rollout_policy
 
-    N = 65536   # drones
+    N = 131072  # drones (measured best on v5e: beats 64K/256K/512K lanes)
     T = 256     # horizon per timed call
 
     env = drone_tpu.DroneEnv(task="hover", integrator="euler")
@@ -36,22 +36,32 @@ def main():
     key = jax.random.PRNGKey(0)
     obs0 = jnp.zeros((1, env.obs_dim), jnp.float32)
     params = model.init(key, obs0)
+    statics = env.statics
 
-    def policy(obs, key_t):
+    def body(carry, key_t):
+        s, obs, acc = carry
         mean, log_std, _ = model.apply(params, obs)
         noise = jax.random.normal(key_t, mean.shape, mean.dtype)
-        return mean + jnp.exp(log_std) * noise, ()
+        action = mean + jnp.exp(log_std) * noise
+        s2, out = jax.vmap(
+            lambda ss, aa: env_mod.step(ss, aa, env.params, statics)
+        )(s, action)
+        return (s2, out.obs, acc + jnp.sum(out.reward)), None
+
+    def run(state, key):
+        obs = jax.vmap(env_mod.observe)(state)
+        keys = jax.random.split(key, T)
+        (final, _, acc), _ = jax.lax.scan(body, (state, obs, jnp.float32(0)), keys)
+        # acc is a small reduction so nothing large leaves the device
+        return final, acc
 
     state = env.init_batch(0, N)
 
-    def run(state, p, key):
-        final, (out, _) = rollout_policy(state, policy, T, p, env.statics, key=key)
-        # return a small reduction so nothing large leaves the device
-        return final, jnp.sum(out.reward)
-
-    run_j = jax.jit(run)
+    # donate the carried env state: without donation XLA must preserve the
+    # input buffers across the call, inserting copies of the full fleet state
+    run_j = jax.jit(run, donate_argnums=0)
     # warmup/compile
-    state2, s = run_j(state, env.params, key)
+    state2, s = run_j(state, key)
     jax.block_until_ready(s)
 
     # timed: 4 chained calls
@@ -59,7 +69,7 @@ def main():
     t0 = time.perf_counter()
     st = state2
     for i in range(iters):
-        st, s = run_j(st, env.params, jax.random.fold_in(key, i))
+        st, s = run_j(st, jax.random.fold_in(key, i))
     jax.block_until_ready(s)
     dt = time.perf_counter() - t0
 
