@@ -1,0 +1,11 @@
+"""Hand-written TPU kernels (Pallas) for the hot paths.
+
+The default compute path is plain XLA (drone_tpu.env under jit/vmap/scan) —
+XLA's fusion is already strong for this elementwise workload. This package
+holds the speed-of-light variants where staying in VMEM across many steps
+beats XLA's per-step HBM round trips (SURVEY.md §7 "Hard parts": "consider a
+Pallas kernel only if XLA fusion falls short — measure first"; measured: the
+scan-based rollout moves the full fleet state HBM<->VMEM every step).
+"""
+
+from drone_tpu.ops.pallas_rollout import rollout_hover_pallas  # noqa: F401

@@ -23,8 +23,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-GOLDEN = jnp.uint32(0x9E3779B9)  # arbitrary fixed second key word
-_PARITY = jnp.uint32(0x1BD11BDA)  # threefry key-schedule parity constant
+# Python ints (not jnp scalars): these get wrapped at trace time, so the
+# functions below stay usable inside Pallas kernels (a kernel may not capture
+# device-resident constants).
+GOLDEN = 0x9E3779B9   # arbitrary fixed second key word
+_PARITY = 0x1BD11BDA  # threefry key-schedule parity constant
 
 # Rotation schedules for Threefry-2x32 (Random123).
 _ROT_A = (13, 15, 26, 6)
