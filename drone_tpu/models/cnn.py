@@ -1,0 +1,57 @@
+"""CNN actor-critic — rebuild of the reference's CNN policy variants
+(SURVEY.md §2.2 #10: `[U] pufferlib/models.py` ships a Nature-CNN-style
+encoder for the pixel-based Ocean envs alongside the default MLP).
+
+The drone env's native observation is a 13-vector, so the drone tasks use
+the MLP/LSTM policies; this encoder exists for pixel observations (e.g. a
+camera-view drone variant or any image-observation env trained with
+drone_tpu.ppo — the trainer only needs apply(params, obs) -> (mean,
+log_std, value)). Convolutions lower to MXU convolutions on TPU; keep
+batch sizes large so XLA can tile them.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class CNNActorCritic(nn.Module):
+    """(B, H, W, C) image obs -> (action mean, log_std, value).
+
+    Nature-CNN-shaped encoder (32/64/64 channels) with a linear head;
+    Gaussian actor and value head share the trunk (the reference's CNN
+    policies share their encoder too)."""
+
+    act_dim: int = 4
+    channels: Sequence[int] = (32, 64, 64)
+    kernels: Sequence[int] = (8, 4, 3)
+    strides: Sequence[int] = (4, 2, 1)
+    hidden: int = 256
+    log_std_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs):
+        x = jnp.asarray(obs, jnp.float32)
+        for i, (c, k, s) in enumerate(zip(self.channels, self.kernels,
+                                          self.strides)):
+            x = nn.relu(nn.Conv(c, (k, k), strides=(s, s), padding="VALID",
+                                name=f"conv{i}")(x))
+        x = x.reshape((*x.shape[:-3], -1))
+        x = nn.relu(nn.Dense(self.hidden, name="trunk")(x))
+        mean = nn.Dense(
+            self.act_dim,
+            kernel_init=nn.initializers.orthogonal(0.01),
+            name="actor_mean",
+        )(x)
+        log_std = self.param(
+            "log_std",
+            nn.initializers.constant(self.log_std_init),
+            (self.act_dim,),
+        )
+        value = nn.Dense(
+            1, kernel_init=nn.initializers.orthogonal(1.0), name="critic_value"
+        )(x)
+        return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]

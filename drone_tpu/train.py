@@ -77,7 +77,8 @@ def train(cfg: Config, on_update=None):
         print(f"resumed from {cfg.run.resume_from} at update {start_update}")
 
     metrics_path = cfg.run.metrics_path or (run_dir / "metrics.jsonl")
-    logger = MetricsLogger(metrics_path)
+    logger = MetricsLogger(metrics_path,
+                           tb_dir=(run_dir / "tb") if cfg.run.tensorboard else None)
 
     steps_per_update = cfg.train.horizon * cfg.train.num_envs
     last = None

@@ -36,6 +36,7 @@ class RunConfig:
     hidden: tuple = (64, 64)
     policy: str = "mlp"             # "mlp" | "lstm" (recurrent PPO w/ BPTT)
     lstm_hidden: int = 128
+    tensorboard: bool = False       # also write TB events to <run>/tb/
 
 
 @dataclasses.dataclass

@@ -1,9 +1,15 @@
-"""Structured metrics: JSONL writer + console dashboard line.
+"""Structured metrics: JSONL writer + console dashboard line + optional
+TensorBoard.
 
 Rebuild of the reference's observability (SURVEY.md §5: rich live dashboard +
 W&B + TensorBoard `runs/`). JSONL is the durable format (greppable, no deps);
 metric names match the reference's so curves are comparable: SPS,
-episode_return, episode_length, losses.
+episode_return, episode_length, losses. TensorBoard event files are written
+too when a tb_dir is given and a SummaryWriter implementation is installed
+(torch.utils.tensorboard here; the reference used `runs/` the same way —
+`[R] .gitignore:9`). W&B is not vendored (no network in this environment);
+the JSONL stream is the integration point — `wandb sync`-style uploaders can
+tail it.
 """
 
 from __future__ import annotations
@@ -13,14 +19,25 @@ import time
 from pathlib import Path
 
 
+def _make_tb_writer(tb_dir):
+    try:  # pragma: no cover - depends on installed extras
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=str(tb_dir))
+    except ImportError:
+        return None
+
+
 class MetricsLogger:
-    def __init__(self, path: str | Path | None = None):
+    def __init__(self, path: str | Path | None = None,
+                 tb_dir: str | Path | None = None):
         self.path = Path(path) if path else None
         if self.path:
             self.path.parent.mkdir(parents=True, exist_ok=True)
             self._f = open(self.path, "a", buffering=1)
         else:
             self._f = None
+        self._tb = _make_tb_writer(tb_dir) if tb_dir else None
         self.t0 = time.time()
 
     def log(self, step: int, metrics: dict, sps: float | None = None) -> dict:
@@ -34,11 +51,17 @@ class MetricsLogger:
             rec["SPS"] = round(float(sps), 1)
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
+        if self._tb:
+            for k, v in rec.items():
+                if k not in ("ts", "global_step") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, global_step=int(step))
         return rec
 
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb:
+            self._tb.close()
 
 
 def dashboard_line(update: int, total: int, rec: dict) -> str:
