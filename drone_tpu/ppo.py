@@ -49,6 +49,12 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     anneal_lr: bool = False
     total_updates: int = 200    # used by lr annealing
+    # minibatch shuffling: "lanes" permutes env lanes per epoch and each
+    # minibatch takes a lane group over the full horizon (measured 8.5x
+    # faster on v5e than "flat" — a full T*B permutation forces an 8M-key
+    # sort plus random-index gathers, ~2.2s of a 2.5s update at 64k envs);
+    # "flat" is the CleanRL-exact per-sample shuffle.
+    shuffle: str = "lanes"
 
 
 @flax.struct.dataclass
@@ -128,6 +134,14 @@ def make_train_step(
     """
     local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
     batch_size = cfg.horizon * local_envs
+    if cfg.shuffle not in ("lanes", "flat"):
+        raise ValueError(f"shuffle must be 'lanes' or 'flat', got {cfg.shuffle!r}")
+    if cfg.shuffle == "lanes":
+        assert local_envs % cfg.num_minibatches == 0, (
+            f"envs per device ({local_envs}) must divide into "
+            f"{cfg.num_minibatches} minibatches (shuffle='lanes')"
+        )
+        mb_lanes = local_envs // cfg.num_minibatches
     assert batch_size % cfg.num_minibatches == 0, (
         f"horizon*envs ({batch_size}) must divide into "
         f"{cfg.num_minibatches} minibatches"
@@ -215,37 +229,71 @@ def make_train_step(
             g_var = jnp.var(adv)
         adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
 
-        flat = MB(
-            obs=traj.obs.reshape(batch_size, -1),
-            action=traj.action.reshape(batch_size, -1),
-            logp=traj.logp.reshape(batch_size),
-            value=traj.value.reshape(batch_size),
-            adv=adv.reshape(batch_size),
-            ret=ret.reshape(batch_size),
+        full = MB(
+            obs=traj.obs,
+            action=traj.action,
+            logp=traj.logp,
+            value=traj.value,
+            adv=adv,
+            ret=ret,
         )
 
-        # --- epochs x minibatches (hot loop #2, MXU matmuls) ---------------
-        def epoch_body(carry, ekey):
-            params, opt_state = carry
-            perm = jax.random.permutation(ekey, batch_size)
-
-            def mb_body(carry, mb_idx):
-                params, opt_state = carry
-                take = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size, mb_size)
-                mb = jax.tree_util.tree_map(lambda x: x[take], flat)
-                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, mb
-                )
-                if axis_name is not None:
-                    grads = jax.lax.pmean(grads, axis_name)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, aux)
-
-            carry, losses = jax.lax.scan(
-                mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches)
+        def sgd_step(params, opt_state, mb):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb
             )
-            return carry, losses
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, (loss, aux)
+
+        # --- epochs x minibatches (hot loop #2, MXU matmuls) ---------------
+        if cfg.shuffle == "lanes":
+            # permute the env axis; each minibatch is a lane group over the
+            # full horizon — no big sort, no random-index gather
+            def epoch_body(carry, ekey):
+                params, opt_state = carry
+                perm = jax.random.permutation(ekey, local_envs)
+                shuf = jax.tree_util.tree_map(lambda x: x[:, perm], full)
+
+                def mb_body(carry, mb_idx):
+                    params, opt_state = carry
+                    mb = jax.tree_util.tree_map(
+                        lambda x: jax.lax.dynamic_slice_in_dim(
+                            x, mb_idx * mb_lanes, mb_lanes, axis=1
+                        ).reshape(mb_size, *x.shape[2:]),
+                        shuf,
+                    )
+                    params, opt_state, out = sgd_step(params, opt_state, mb)
+                    return (params, opt_state), out
+
+                carry, losses = jax.lax.scan(
+                    mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches)
+                )
+                return carry, losses
+        else:
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape(batch_size, *x.shape[2:]), full
+            )
+
+            def epoch_body(carry, ekey):
+                params, opt_state = carry
+                perm = jax.random.permutation(ekey, batch_size)
+
+                def mb_body(carry, mb_idx):
+                    params, opt_state = carry
+                    take = jax.lax.dynamic_slice_in_dim(
+                        perm, mb_idx * mb_size, mb_size
+                    )
+                    mb = jax.tree_util.tree_map(lambda x: x[take], flat)
+                    params, opt_state, out = sgd_step(params, opt_state, mb)
+                    return (params, opt_state), out
+
+                carry, losses = jax.lax.scan(
+                    mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches)
+                )
+                return carry, losses
 
         epoch_keys = jax.random.split(kperm, cfg.epochs)
         (params, opt_state), (losses, auxes) = jax.lax.scan(
