@@ -62,7 +62,7 @@ def main(argv=None):
     elif args.cmd == "bench":
         import bench  # repo-root bench.py
 
-        bench.main()
+        bench.main(cfg)
     elif args.cmd == "sweep":
         from drone_tpu.sweep import run_sweep
 

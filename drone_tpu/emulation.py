@@ -70,6 +70,15 @@ class DroneGymnasium(_EnvBase):
             self._state = self.env.init(seed, self._lane)
         elif self._state is None:
             self._state = self.env.init(self._seed, self._lane)
+        elif not self._needs_reset and int(self._state.step) > 0:
+            # mid-episode reset (e.g. an external TimeLimit wrapper): abandon
+            # the running episode and start the next one in the lane's
+            # counter-based stream — same episode the auto-reset would give
+            s = self._state
+            self._state = env_mod.reset_state(
+                s.key0, s.key1, s.reset_count + np.uint32(1),
+                self.env.params, self.env.statics,
+            )
         # else: the internal step already auto-reset; current state IS the
         # fresh episode (counter-based RNG => same stream either way).
         self._needs_reset = False

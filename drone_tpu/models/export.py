@@ -41,12 +41,17 @@ def _dense(p, name, act):
             np.asarray(d["bias"], np.float32), act)
 
 
-def export_flat_weights(params, path: str, hidden=(64, 64)) -> None:
+def export_flat_weights(params, path: str, hidden=None) -> None:
     """Export the actor tower of a params pytree to `path`.
 
     MLP (ActorCritic) params -> DRNW v1; LSTM (LSTMActorCritic) params ->
-    DRNW v2 (detected by the presence of the 'lstm' collection).
+    DRNW v2 (detected by the presence of the 'lstm' collection). The tower
+    depth is probed from the params themselves (`hidden` is accepted for
+    backward compatibility and ignored — trusting a caller-supplied depth
+    silently exported truncated networks when it understated the trained
+    depth, since equal-width layers still chain without a shape error).
     """
+    del hidden
     p = params["params"] if "params" in params else params
     layers = []
     if "lstm" in p:
@@ -62,8 +67,10 @@ def export_flat_weights(params, path: str, hidden=(64, 64)) -> None:
         layers.append(_dense(p, "actor_mean", ACT_NONE))
         version = 2
     else:
-        for i, _ in enumerate(hidden):
+        i = 0
+        while f"actor_h{i}" in p:
             layers.append(_dense(p, f"actor_h{i}", ACT_TANH))
+            i += 1
         layers.append(_dense(p, "actor_mean", ACT_NONE))
         version = 1
 

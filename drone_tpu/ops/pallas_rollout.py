@@ -19,7 +19,7 @@ Two action sources:
     threefry stream at block index ACTION_BLOCK0 + 2t (distinct from the
     reset stream; regenerated, never stored — this is the pure env-engine
     throughput measurement, the analogue of the reference's env SPS bench)
-  - actions=(T, 4, N) f32: a provided action stream (parity tests).
+  - actions=(T, N, 4) f32: a provided action stream (parity tests).
 
 Reference: SURVEY.md §2.2 #1-2 (the C hot loop this replaces at speed of
 light); /opt/skills/guides/pallas_guide.md (kernel idioms used here).

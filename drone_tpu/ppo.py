@@ -301,9 +301,17 @@ def make_train_step(
         )
 
         # --- metrics --------------------------------------------------------
+        # count-like quantities are psum'd to GLOBAL totals before the means
+        # (pmean'ing a count would report a per-device average, n_dev-fold
+        # understated; a pmean of per-device means would also mis-weight
+        # devices with unequal episode counts)
         n_done = jnp.sum(traj.done)
         ep_ret_sum = jnp.sum(traj.ep_return)
         ep_len_sum = jnp.sum(traj.ep_length)
+        if axis_name is not None:
+            n_done = jax.lax.psum(n_done, axis_name)
+            ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
+            ep_len_sum = jax.lax.psum(ep_len_sum, axis_name)
         metrics = dict(
             loss=jnp.mean(losses),
             reward_mean=jnp.mean(traj.reward),

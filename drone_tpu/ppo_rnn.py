@@ -200,13 +200,20 @@ def make_recurrent_train_step(
             epoch_body, (runner.params, runner.opt_state), epoch_keys
         )
 
+        # psum count-like quantities to global totals (see ppo.py metrics note)
         n_done = jnp.sum(traj.done)
+        ep_ret_sum = jnp.sum(traj.ep_return)
+        ep_len_sum = jnp.sum(traj.ep_length)
+        if axis_name is not None:
+            n_done = jax.lax.psum(n_done, axis_name)
+            ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
+            ep_len_sum = jax.lax.psum(ep_len_sum, axis_name)
         metrics = dict(
             loss=jnp.mean(losses),
             reward_mean=jnp.mean(traj.reward),
             episodes=n_done.astype(jnp.float32),
-            ep_return_mean=jnp.sum(traj.ep_return) / jnp.maximum(n_done, 1),
-            ep_length_mean=jnp.sum(traj.ep_length) / jnp.maximum(n_done, 1),
+            ep_return_mean=ep_ret_sum / jnp.maximum(n_done, 1),
+            ep_length_mean=ep_len_sum / jnp.maximum(n_done, 1),
             **{k: jnp.mean(v) for k, v in auxes.items()},
         )
         if axis_name is not None:

@@ -25,11 +25,6 @@ from drone_tpu import prng
 from drone_tpu.types import RESET_BLOCKS, WP_BLOCK0
 
 
-def centered(u, scale):
-    """uniform [0,1) -> [-scale, scale); order mirrors the oracle."""
-    return (u * 2.0 - 1.0) * scale
-
-
 def reset_draws(key0, key1, episode):
     """The RESET_BLOCKS*2 uniforms of a reset, shaped (..., 18)."""
     return prng.episode_uniforms(key0, key1, episode, RESET_BLOCKS)

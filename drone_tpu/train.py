@@ -83,13 +83,17 @@ def train(cfg: Config, on_update=None):
     steps_per_update = cfg.train.horizon * cfg.train.num_envs
     last = None
     t_last = time.time()
+    u_last = start_update
     for u in range(start_update, cfg.run.total_updates):
         runner, m = step(runner)
         if (u + 1) % cfg.run.log_interval == 0 or u == cfg.run.total_updates - 1:
             jax.block_until_ready(m["loss"])
             now = time.time()
-            sps = steps_per_update * cfg.run.log_interval / (now - t_last)
+            # count the updates actually elapsed since the last log — the
+            # final log can fire mid-interval
+            sps = steps_per_update * (u + 1 - u_last) / (now - t_last)
             t_last = now
+            u_last = u + 1
             rec = logger.log((u + 1) * steps_per_update, m, sps=sps)
             print(dashboard_line(u + 1, cfg.run.total_updates, rec), flush=True)
             last = rec

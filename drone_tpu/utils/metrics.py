@@ -69,7 +69,7 @@ def dashboard_line(update: int, total: int, rec: dict) -> str:
     rich dashboard, reduced to what matters)."""
     parts = [f"upd {update}/{total}"]
     for k, fmt in (
-        ("SPS", "{:.2e}"),
+        ("SPS", "sps {:.2e}"),
         ("ep_return_mean", "ret {:8.2f}"),
         ("ep_length_mean", "len {:6.1f}"),
         ("reward_mean", "rew {:7.3f}"),

@@ -114,11 +114,16 @@ class VecDrone:
 
     # -- async API (reference: envpool-style double buffering) ---------------
     def async_reset(self, seed: int | None = None):
+        """Arms a pending reset result: the canonical driver loop is
+        async_reset() -> recv() (initial obs) -> send(actions) -> recv()."""
         self.reset(seed)
+        self._pending = "reset"
 
     def send(self, actions):
         if self._state is None:
             raise RuntimeError("call reset()/async_reset() before send()")
+        if self._pending == "reset":
+            self._pending = None  # caller skipped recv'ing the initial obs
         if self._pending is not None:
             raise RuntimeError("send() called twice without recv()")
         actions = jnp.asarray(actions, jnp.float32).reshape(
@@ -129,6 +134,10 @@ class VecDrone:
     def recv(self):
         if self._pending is None:
             raise RuntimeError("recv() called without a pending send()")
+        if self._pending == "reset":
+            self._pending = None
+            return (self.observations, self.rewards, self.terminals,
+                    self.truncations, {})
         state, out = self._pending
         self._pending = None
         self._state = state

@@ -167,6 +167,25 @@ def test_c_forward_matches_flax_lstm(tmp_path, demo_binary):
             err_msg=f"diverged at t={t}")
 
 
+def test_export_probes_depth_from_params(tmp_path):
+    """Regression: export used to trust a caller-supplied hidden tuple and
+    silently truncated deeper towers (equal widths chain without error)."""
+    model = ActorCritic(hidden=(8, 8, 8))
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((1, 13)))
+    path = tmp_path / "deep.drnw"
+    export_flat_weights(params, str(path))  # no depth hint
+    layers = load_flat_weights(str(path))
+    assert [l[1].shape for l in layers] == [(13, 8), (8, 8), (8, 8), (8, 4)]
+    obs = np.random.RandomState(3).randn(3, 13).astype(np.float32)
+    x = obs
+    for _, w, b, act in layers:
+        x = x @ w + b
+        if act == 1:
+            x = np.tanh(x)
+    mean, _, _ = model.apply(params, jnp.asarray(obs))
+    np.testing.assert_allclose(x, np.asarray(mean), rtol=1e-5, atol=1e-6)
+
+
 def test_drnw_v2_roundtrip(tmp_path):
     from drone_tpu.models import LSTMActorCritic
 

@@ -60,6 +60,11 @@ def test_async_api_matches_sync():
     v2 = vector.make("hover", num_envs=n, seed=9)
     v1.reset()
     v2.async_reset()
+    # canonical driver loop: recv() after async_reset returns initial obs
+    o0, r0, t0, tr0, inf0 = v2.recv()
+    assert np.array_equal(o0, v1.observations) and not inf0
+    with pytest.raises(RuntimeError):
+        v2.recv()  # reset result consumed
     for t in range(10):
         o1, r1, *_ = v1.step(acts[t])
         v2.send(acts[t])
@@ -115,6 +120,28 @@ def test_gymnasium_api_contract():
         env.step(np.zeros(4))
     obs2, _ = env.reset()
     assert obs2.shape == (13,)
+
+
+def test_gymnasium_midepisode_reset_starts_new_episode():
+    """Regression: reset() without a seed used to be a no-op mid-episode
+    (returning the mid-episode observation), breaking TimeLimit-style
+    wrappers. It must abandon the running episode and start the next one."""
+    env = DroneGymnasium(task="hover")
+    obs0, _ = env.reset(seed=3)
+    for _ in range(5):
+        env.step(np.zeros(4, np.float32))
+    assert int(env._state.step) == 5
+    obs1, _ = env.reset()
+    assert int(env._state.step) == 0
+    assert int(env._state.reset_count) == 1  # next episode in the stream
+    assert not np.array_equal(obs0, obs1)    # randomized fresh pose
+    # and it matches what the auto-reset path would have produced: episode 1
+    # of the same lane stream
+    from drone_tpu import env as env_mod
+
+    fresh = env_mod.reset_state(env._state.key0, env._state.key1,
+                                np.uint32(1), env.env.params, env.env.statics)
+    assert np.array_equal(obs1, np.asarray(env.env.observe(fresh)))
 
 
 def test_gymnasium_matches_internal_step():
