@@ -29,16 +29,25 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_megakernel(env, N=131072, T=1024, iters=4):
+# TIMING NOTE: on this image's tunneled TPU, jax.block_until_ready sometimes
+# returns before the computation finishes (observed: a 200 ms kernel "done"
+# in 2.6 ms), silently inflating async-timed numbers. A device->host VALUE
+# fetch (float(...)) cannot complete early, so every timed region below ends
+# with one; the ~50 ms tunnel round trip it costs is amortized by chaining
+# several large calls inside the region (and is charged against us —
+# conservative).
+
+
+def bench_megakernel(env, N=131072, T=4096, iters=4):
     from drone_tpu.ops import rollout_hover_pallas
 
     state = env.init_batch(0, N)
     state, stats = rollout_hover_pallas(state, env.params, T)  # compile+warm
-    jax.block_until_ready(stats["reward_sum"])
+    float(stats["reward_sum"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, stats = rollout_hover_pallas(state, env.params, T)
-    jax.block_until_ready(stats["reward_sum"])
+    float(stats["reward_sum"])  # hard sync
     return N * T * iters / (time.perf_counter() - t0)
 
 
@@ -70,11 +79,11 @@ def bench_policy_rollout(env, N=131072, T=256, iters=4):
     run_j = jax.jit(run, donate_argnums=0)
     state = env.init_batch(0, N)
     state, s = run_j(state, key)
-    jax.block_until_ready(s)
+    float(s)
     t0 = time.perf_counter()
     for i in range(iters):
         state, s = run_j(state, jax.random.fold_in(key, i))
-    jax.block_until_ready(s)
+    float(s)  # hard sync (see TIMING NOTE)
     return N * T * iters / (time.perf_counter() - t0)
 
 

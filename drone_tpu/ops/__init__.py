@@ -8,4 +8,7 @@ Pallas kernel only if XLA fusion falls short — measure first"; measured: the
 scan-based rollout moves the full fleet state HBM<->VMEM every step).
 """
 
-from drone_tpu.ops.pallas_rollout import rollout_hover_pallas  # noqa: F401
+from drone_tpu.ops.pallas_rollout import (  # noqa: F401
+    rollout_hover_pallas,
+    rollout_pallas,
+)

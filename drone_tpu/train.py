@@ -87,7 +87,10 @@ def train(cfg: Config, on_update=None):
     for u in range(start_update, cfg.run.total_updates):
         runner, m = step(runner)
         if (u + 1) % cfg.run.log_interval == 0 or u == cfg.run.total_updates - 1:
-            jax.block_until_ready(m["loss"])
+            # value fetch, not block_until_ready: on the tunneled TPU in this
+            # image block_until_ready can return before compute finishes
+            # (see bench.py TIMING NOTE), which would inflate SPS
+            float(m["loss"])
             now = time.time()
             # count the updates actually elapsed since the last log — the
             # final log can fire mid-interval

@@ -10,10 +10,11 @@ in the kernel source) — TPU-only checks live in the benchmark, not here
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import drone_tpu
 from drone_tpu import env as env_mod
-from drone_tpu.ops import rollout_hover_pallas
+from drone_tpu.ops import rollout_hover_pallas, rollout_pallas
 from tests.helpers import pack_fstate_batch
 
 N, T, HORIZON = 512, 200, 60
@@ -35,25 +36,34 @@ def _scan_ref(env, state, acts, p):
     return jax.jit(run)(state, acts, p)
 
 
-def test_megakernel_bitwise_equals_scan_path():
+@pytest.mark.parametrize("task", ["hover", "waypoint", "racing"])
+@pytest.mark.parametrize("integrator", ["euler", "rk4"])
+def test_megakernel_bitwise_equals_scan_path(task, integrator):
     """Interpret-mode kernel == vmap/scan env over a horizon with hundreds
-    of auto-resets (truncation and crash), bitwise on every f32/int field."""
-    env = drone_tpu.DroneEnv()
+    of auto-resets (truncation and crash), bitwise on every f32/int field,
+    for every task x integrator combination."""
+    env = drone_tpu.DroneEnv(task=task, integrator=integrator)
     p = env.params.replace(horizon=jnp.int32(HORIZON))
+    if task in ("waypoint", "racing"):
+        # huge reach radius so target/gate progression fires constantly
+        p = p.replace(reach_tol2=jnp.float32(4.0))
     state = env.init_batch(5, N)
     acts = jax.random.uniform(jax.random.PRNGKey(1), (T, N, 4), jnp.float32,
                               -0.2, 0.4)
     ref_final, (r, d, ep_ret, ep_len) = _scan_ref(env, state, acts, p)
-    pal_final, stats = rollout_hover_pallas(
-        state, p, T, actions=acts, lanes_per_block=N, interpret=True
+    pal_final, stats = rollout_pallas(
+        state, p, env.statics, T, actions=acts, lanes_per_block=N,
+        interpret=True
     )
     a = np.asarray(pack_fstate_batch(ref_final)).view(np.uint32)
     b = np.asarray(pack_fstate_batch(pal_final)).view(np.uint32)
     assert np.array_equal(a, b), "f32 state planes diverged"
-    np.testing.assert_array_equal(np.asarray(ref_final.step),
-                                  np.asarray(pal_final.step))
-    np.testing.assert_array_equal(np.asarray(ref_final.reset_count),
-                                  np.asarray(pal_final.reset_count))
+    for field in ("step", "reset_count", "wp_count", "gate_idx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref_final, field)),
+            np.asarray(getattr(pal_final, field)), err_msg=field)
+    if task in ("waypoint", "racing"):
+        assert int(jnp.sum(pal_final.wp_count)) > 0, "no reach events fired"
     # stats: same episodes, same reward mass
     n_ep = int(jnp.sum(d))
     assert n_ep > 100, "test should exercise many auto-resets"
