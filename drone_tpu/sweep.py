@@ -21,7 +21,6 @@ force):
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import math
 import random

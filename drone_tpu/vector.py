@@ -33,7 +33,7 @@ import numpy as np
 
 from drone_tpu import env as env_mod
 from drone_tpu import spaces
-from drone_tpu.types import ACT_DIM, OBS_DIM, EnvParams, EnvStatics
+from drone_tpu.types import ACT_DIM, OBS_DIM, EnvParams
 
 BACKENDS = ("jit", "serial")
 
