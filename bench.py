@@ -39,14 +39,14 @@ import jax.numpy as jnp
 
 
 def bench_megakernel(env, N=131072, T=4096, iters=4):
-    from drone_tpu.ops import rollout_hover_pallas
+    from drone_tpu.ops import rollout_pallas
 
     state = env.init_batch(0, N)
-    state, stats = rollout_hover_pallas(state, env.params, T)  # compile+warm
+    state, stats = rollout_pallas(state, env.params, env.statics, T)  # warm
     float(stats["reward_sum"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, stats = rollout_hover_pallas(state, env.params, T)
+        state, stats = rollout_pallas(state, env.params, env.statics, T)
     float(stats["reward_sum"])  # hard sync
     return N * T * iters / (time.perf_counter() - t0)
 
@@ -101,13 +101,7 @@ def main(cfg=None):
     else:
         env = drone_tpu.DroneEnv(task="hover", integrator="euler")
 
-    if env.statics.task == "hover" and env.statics.integrator == "euler":
-        mega = bench_megakernel(env)
-    else:
-        print(f"megakernel covers hover/euler; benchmarked task is "
-              f"{env.statics.task}/{env.statics.integrator} via the policy "
-              f"rollout path", file=sys.stderr)
-        mega = None
+    mega = bench_megakernel(env)
     policy = bench_policy_rollout(env)
     print(
         f"secondary: policy-in-loop scan rollout "
@@ -115,14 +109,11 @@ def main(cfg=None):
         file=sys.stderr,
     )
     target_per_chip = 100e6 / 16.0
-    headline = mega if mega is not None else policy
-    metric = ("env_steps_per_s_batched_hover_1chip" if mega is not None
-              else f"env_steps_per_s_{env.statics.task}_policy_rollout_1chip")
     print(json.dumps({
-        "metric": metric,
-        "value": round(headline, 1),
+        "metric": f"env_steps_per_s_batched_{env.statics.task}_1chip",
+        "value": round(mega, 1),
         "unit": "steps/s",
-        "vs_baseline": round(headline / target_per_chip, 3),
+        "vs_baseline": round(mega / target_per_chip, 3),
     }))
 
 
