@@ -126,3 +126,20 @@ def test_entry_contract():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape == (1024, 4)
+
+
+def test_scaling_harness_mechanics():
+    """Weak-scaling harness runs over 1/2/4/8 virtual devices and reports
+    monotone env counts + an efficiency for each (values are meaningless on
+    CPU; on a pod the same harness measures real ICI scaling)."""
+    from drone_tpu.models import ActorCritic
+    from drone_tpu.parallel.scaling import run_scaling
+
+    env = drone_tpu.DroneEnv()
+    cfg = ppo_mod.PPOConfig(horizon=8, epochs=1, num_minibatches=1)
+    recs = run_scaling(env, ActorCritic(hidden=(16, 16)), cfg,
+                       envs_per_device=64, iters=1, device_counts=[1, 2, 8])
+    assert [r["devices"] for r in recs] == [1, 2, 8]
+    assert [r["num_envs"] for r in recs] == [64, 128, 512]
+    assert all(r["steps_per_s"] > 0 and r["efficiency"] > 0 for r in recs)
+    assert recs[0]["efficiency"] == 1.0
