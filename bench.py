@@ -51,6 +51,25 @@ def bench_megakernel(env, N=131072, T=4096, iters=4):
     return N * T * iters / (time.perf_counter() - t0)
 
 
+def bench_acting_megakernel(env, N=131072, T=1024, iters=4):
+    """Deterministic MLP policy fused into the env kernel (serving path)."""
+    from drone_tpu.models import ActorCritic
+    from drone_tpu.ops import act_rollout_pallas
+
+    model = ActorCritic()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, env.obs_dim), jnp.float32))
+    state = env.init_batch(0, N)
+    state, stats = act_rollout_pallas(state, params, env.params, env.statics, T)
+    float(stats["reward_sum"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, stats = act_rollout_pallas(state, params, env.params,
+                                          env.statics, T)
+    float(stats["reward_sum"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
 def bench_policy_rollout(env, N=131072, T=256, iters=4):
     from drone_tpu import env as env_mod
     from drone_tpu.models import ActorCritic
@@ -102,10 +121,12 @@ def main(cfg=None):
         env = drone_tpu.DroneEnv(task="hover", integrator="euler")
 
     mega = bench_megakernel(env)
+    acting = bench_acting_megakernel(env)
     policy = bench_policy_rollout(env)
     print(
-        f"secondary: policy-in-loop scan rollout "
-        f"{policy / 1e6:.1f}M steps/s (ActorCritic acting path)",
+        f"secondary: fused policy+env megakernel {acting / 1e6:.1f}M steps/s "
+        f"(deterministic serving path); policy-in-loop scan rollout "
+        f"{policy / 1e6:.1f}M steps/s (stochastic acting path)",
         file=sys.stderr,
     )
     target_per_chip = 100e6 / 16.0

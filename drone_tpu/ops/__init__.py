@@ -12,3 +12,4 @@ from drone_tpu.ops.pallas_rollout import (  # noqa: F401
     rollout_hover_pallas,
     rollout_pallas,
 )
+from drone_tpu.ops.pallas_acting import act_rollout_pallas  # noqa: F401

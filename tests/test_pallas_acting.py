@@ -1,0 +1,90 @@
+"""Fused policy+env acting megakernel tests (drone_tpu/ops/pallas_acting.py).
+
+Unlike the env-only megakernel, the acting kernel computes the policy as
+(W^T @ obs) on the MXU while the scan path computes (obs @ W); float matmul
+reduction order differs, so bitwise equality is NOT the contract here (the
+policy is a learned function — the env parity gate is untouched). The
+contract is: short-horizon states within tight tolerance, identical episode
+accounting, and long-horizon statistics in agreement."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import drone_tpu
+from drone_tpu import env as env_mod
+from drone_tpu.models import ActorCritic
+from drone_tpu.ops import act_rollout_pallas
+from tests.helpers import pack_fstate_batch
+
+
+def _setup(task="hover", integrator="euler", hidden=(64, 64)):
+    env = drone_tpu.DroneEnv(task=task, integrator=integrator)
+    model = ActorCritic(hidden=hidden)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13), jnp.float32))
+    return env, model, params
+
+
+def _scan(env, model, state, p, params, T):
+    def run(s, pp, prm):
+        def body(ss, _):
+            obs = jax.vmap(env_mod.observe)(ss)
+            mean, _, _ = model.apply(prm, obs)
+            s2, out = jax.vmap(
+                lambda x, y: env_mod.step(x, y, pp, env.statics)
+            )(ss, mean)
+            return s2, (out.reward, out.terminated | out.truncated)
+        return jax.lax.scan(body, s, None, length=T)
+
+    return jax.jit(run)(state, p, params)
+
+
+def test_acting_kernel_short_horizon_tolerance():
+    env, model, params = _setup()
+    N, T = 256, 3
+    state = env.init_batch(2, N)
+    ref, (r, d) = _scan(env, model, state, env.params, params, T)
+    pal, stats = act_rollout_pallas(state, params, env.params, env.statics,
+                                    T, lanes_per_block=N, interpret=True)
+    np.testing.assert_allclose(pack_fstate_batch(pal), pack_fstate_batch(ref),
+                               rtol=2e-5, atol=2e-6)
+    assert int(stats["episodes"]) == int(jnp.sum(d))
+    np.testing.assert_allclose(float(stats["reward_sum"]), float(jnp.sum(r)),
+                               rtol=1e-4)
+
+
+def test_acting_kernel_long_horizon_statistics():
+    """Over many episodes the two implementations of the same policy must
+    agree statistically even though individual chaotic trajectories drift."""
+    env, model, params = _setup()
+    N, T = 512, 400
+    p = env.params.replace(horizon=jnp.int32(60))
+    ref, (r, d) = _scan(env, model, env.init_batch(2, N), p, params, T)
+    pal, stats = act_rollout_pallas(env.init_batch(2, N), params, p,
+                                    env.statics, T, lanes_per_block=N,
+                                    interpret=True)
+    n_ref = int(jnp.sum(d))
+    n_pal = int(stats["episodes"])
+    assert n_ref > 1000
+    assert abs(n_pal - n_ref) / n_ref < 0.02
+    mean_r_ref = float(jnp.sum(r)) / (N * T)
+    mean_r_pal = float(stats["reward_sum"]) / (N * T)
+    assert abs(mean_r_pal - mean_r_ref) < 0.01
+    # invariants on the final state
+    fs = np.asarray(pack_fstate_batch(pal))
+    assert np.isfinite(fs).all()
+    qn = (fs[:, 6:10] ** 2).sum(axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-5)
+
+
+def test_acting_kernel_deep_tower_and_tasks():
+    """Arbitrary actor depth + non-hover task wire through correctly."""
+    env, model, params = _setup(task="waypoint", integrator="rk4",
+                                hidden=(32, 32, 32))
+    N, T = 256, 3
+    state = env.init_batch(7, N)
+    ref, (r, d) = _scan(env, model, state, env.params, params, T)
+    pal, _ = act_rollout_pallas(state, params, env.params, env.statics, T,
+                                lanes_per_block=N, interpret=True)
+    np.testing.assert_allclose(pack_fstate_batch(pal), pack_fstate_batch(ref),
+                               rtol=2e-5, atol=2e-6)
