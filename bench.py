@@ -108,9 +108,9 @@ def bench_policy_rollout(env, N=131072, T=256, iters=4):
 
 def main(cfg=None):
     """cfg: optional drone_tpu Config (from the CLI); its [env] section picks
-    the benchmarked task/integrator. The Pallas megakernel covers the
-    hover/euler headline configuration; other configurations report the
-    policy-rollout path as the headline."""
+    the benchmarked task/integrator. The Pallas megakernel (which covers
+    every task x integrator) is always the headline metric; the fused-acting
+    and scan-rollout paths are reported on stderr."""
     import drone_tpu
 
     if cfg is not None:

@@ -61,6 +61,7 @@ class DroneGymnasium(_EnvBase):
         )
         self._state = None
         self._needs_reset = True
+        self._stepped = False  # host-side: any step since last (auto-)reset?
         self._seed = 0
         self._lane = 0
 
@@ -70,7 +71,9 @@ class DroneGymnasium(_EnvBase):
             self._state = self.env.init(seed, self._lane)
         elif self._state is None:
             self._state = self.env.init(self._seed, self._lane)
-        elif not self._needs_reset and int(self._state.step) > 0:
+        elif not self._needs_reset and self._stepped:
+            # (host-side flag, not int(state.step): a device->host scalar
+            # fetch costs ~50 ms on the tunneled TPU — bench.py TIMING NOTE)
             # mid-episode reset (e.g. an external TimeLimit wrapper): abandon
             # the running episode and start the next one in the lane's
             # counter-based stream — same episode the auto-reset would give
@@ -82,6 +85,7 @@ class DroneGymnasium(_EnvBase):
         # else: the internal step already auto-reset; current state IS the
         # fresh episode (counter-based RNG => same stream either way).
         self._needs_reset = False
+        self._stepped = False
         obs = np.asarray(self.env.observe(self._state))
         return obs, {}
 
@@ -91,6 +95,7 @@ class DroneGymnasium(_EnvBase):
         action = np.asarray(action, np.float32).reshape(ACT_DIM)
         state, out, terminal_obs = self._step_fn(self._state, action)
         self._state = state
+        self._stepped = True
         terminated = bool(out.terminated)
         truncated = bool(out.truncated)
         info = {}

@@ -56,9 +56,7 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, *w_refs,
                for i in range(n_layers)]
 
     P = PR._P(pf_ref, pi_ref)
-    c0 = tuple(fs_ref[k] for k in range(PR.NF)) + (
-        st_ref[0], us_ref[3], st_ref[1], us_ref[0], us_ref[1], us_ref[2],
-    )
+    c0 = PR.read_carry(fs_ref, us_ref, st_ref)
     shape = c0[0].shape
     L = shape[0] * 128
     zero = jnp.zeros(shape, jnp.float32)
@@ -81,26 +79,10 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, *w_refs,
         a3 = x[3].reshape(shape)
         c2, r, done, epret2, step2 = PR._env_step(c, a0, a1, a2, a3, P,
                                                   task, integrator)
-        donef = done.astype(jnp.float32)
-        acc2 = (acc[0] + r,
-                acc[1] + donef,
-                acc[2] + jnp.where(done, epret2, 0.0),
-                acc[3] + donef * step2.astype(jnp.float32))
-        return c2, acc2
+        return c2, PR.accumulate(acc, r, done, epret2, step2)
 
     c, acc = jax.lax.fori_loop(0, T, body, (c0, acc0))
-    for k in range(PR.NF):
-        ofs_ref[k] = c[k]
-    ost_ref[0] = c[PR.NF]
-    ous_ref[3] = c[PR.NF + 1]
-    ost_ref[1] = c[PR.NF + 2]
-    ous_ref[0] = c[PR.NF + 3]
-    ous_ref[1] = c[PR.NF + 4]
-    ous_ref[2] = c[PR.NF + 5]
-    stats_ref[0] = acc[0]
-    stats_ref[1] = acc[1]
-    stats_ref[2] = acc[2]
-    stats_ref[3] = acc[3]
+    PR.write_back(c, acc, ofs_ref, ous_ref, ost_ref, stats_ref)
 
 
 @functools.partial(

@@ -368,14 +368,45 @@ def _env_step(c, a0, a1, a2, a3, P, task, integrator):
     return c2, r, done, epret2, step2
 
 
+def read_carry(fs_ref, us_ref, st_ref):
+    """Kernel prologue: state planes -> the canonical carry tuple (shared
+    with pallas_acting so the slot layout lives in ONE place)."""
+    return tuple(fs_ref[k] for k in range(NF)) + (
+        st_ref[0], us_ref[3], st_ref[1], us_ref[0], us_ref[1], us_ref[2],
+    )
+
+
+def accumulate(acc, r, done, epret2, step2):
+    """Per-step stats accumulation: (reward, episodes, ep_return, ep_len)."""
+    donef = done.astype(jnp.float32)
+    return (acc[0] + r,
+            acc[1] + donef,
+            acc[2] + jnp.where(done, epret2, 0.0),
+            acc[3] + donef * step2.astype(jnp.float32))
+
+
+def write_back(c, acc, ofs_ref, ous_ref, ost_ref, stats_ref):
+    """Kernel epilogue: carry tuple -> output planes (inverse of
+    read_carry) + per-lane stat accumulators (the caller reduces; scalar
+    SMEM outputs would violate the (8, 128)-divisible block rule)."""
+    for k in range(NF):
+        ofs_ref[k] = c[k]
+    ost_ref[0] = c[NF]      # step
+    ous_ref[3] = c[NF + 1]  # wp_count
+    ost_ref[1] = c[NF + 2]  # gate_idx
+    ous_ref[0] = c[NF + 3]  # reset_count
+    ous_ref[1] = c[NF + 4]  # key0
+    ous_ref[2] = c[NF + 5]  # key1
+    for i in range(4):
+        stats_ref[i] = acc[i]
+
+
 def _rollout_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, act_ref,
                     ofs_ref, ous_ref, ost_ref, stats_ref,
                     *, T, with_actions, task, integrator):
     P = _P(pf_ref, pi_ref)
 
-    c0 = tuple(fs_ref[k] for k in range(NF)) + (
-        st_ref[0], us_ref[3], st_ref[1], us_ref[0], us_ref[1], us_ref[2],
-    )
+    c0 = read_carry(fs_ref, us_ref, st_ref)
     shape = c0[0].shape
     zero = jnp.zeros(shape, jnp.float32)
     acc0 = (zero, zero, zero, zero)  # reward, episodes, ep_return, ep_length
@@ -400,29 +431,10 @@ def _rollout_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, act_ref,
             a3 = _uniform(b3) * 2.0 - 1.0
         c2, r, done, epret2, step2 = _env_step(c, a0, a1, a2, a3, P,
                                                task, integrator)
-        donef = done.astype(jnp.float32)
-        acc2 = (acc[0] + r,
-                acc[1] + donef,
-                acc[2] + jnp.where(done, epret2, 0.0),
-                acc[3] + donef * step2.astype(jnp.float32))
-        return c2, acc2
+        return c2, accumulate(acc, r, done, epret2, step2)
 
     c, acc = jax.lax.fori_loop(0, T, body, (c0, acc0))
-
-    for k in range(NF):
-        ofs_ref[k] = c[k]
-    ost_ref[0] = c[NF]      # step
-    ous_ref[3] = c[NF + 1]  # wp_count
-    ost_ref[1] = c[NF + 2]  # gate_idx
-    ous_ref[0] = c[NF + 3]  # reset_count
-    ous_ref[1] = c[NF + 4]  # key0
-    ous_ref[2] = c[NF + 5]  # key1
-    # per-lane accumulators; the caller reduces (scalar SMEM outputs would
-    # violate the (8, 128)-divisible block rule)
-    stats_ref[0] = acc[0]
-    stats_ref[1] = acc[1]
-    stats_ref[2] = acc[2]
-    stats_ref[3] = acc[3]
+    write_back(c, acc, ofs_ref, ous_ref, ost_ref, stats_ref)
 
 
 @functools.partial(
@@ -500,10 +512,30 @@ def rollout_pallas(state: EnvState, params: EnvParams, statics: EnvStatics,
     ep_return_sum / ep_length_sum)."""
     n = state.pos.shape[0]
     assert n % lanes_per_block == 0, (n, lanes_per_block)
-    final, stats = _run(state, params, actions, T=T,
-                        lanes_per_block=lanes_per_block,
-                        task=statics.task, integrator=statics.integrator,
-                        interpret=interpret)
+
+    # A provided action stream lives in VMEM for the whole kernel (the
+    # BlockSpec pins (T, 4, lanes_per_block) floats per block), so long
+    # horizons must be streamed as host-side time chunks — each chunk is a
+    # separate kernel launch continuing from the previous final state, which
+    # is exactly equivalent because the kernel is sequential in time.
+    ACT_VMEM_BUDGET = 4 * 1024 * 1024  # bytes of VMEM for the action stream
+    if actions is None:
+        chunk = T
+    else:
+        chunk = max(1, min(T, ACT_VMEM_BUDGET // (lanes_per_block * 4 * 4)))
+
+    run = functools.partial(_run, lanes_per_block=lanes_per_block,
+                            task=statics.task, integrator=statics.integrator,
+                            interpret=interpret)
+    if chunk >= T:
+        final, stats = run(state, params, actions, T=T)
+    else:
+        stats = jnp.zeros(4, jnp.float32)
+        final = state
+        for t0 in range(0, T, chunk):
+            tc = min(chunk, T - t0)
+            final, s = run(final, params, actions[t0:t0 + tc], T=tc)
+            stats = stats + s
     return final, {
         "reward_sum": stats[0],
         "episodes": stats[1],

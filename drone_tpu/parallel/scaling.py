@@ -63,7 +63,7 @@ def run_scaling(env, model, cfg: ppo_mod.PPOConfig, envs_per_device: int = 4096,
         dt = time.perf_counter() - t0
         sps = c.num_envs * c.horizon * iters / dt
         if base is None:
-            base = sps
+            base = sps / n_dev  # per-device throughput of the first run
         records.append({
             "devices": n_dev,
             "num_envs": c.num_envs,

@@ -74,8 +74,6 @@ def make_sharded_train_step(
     if example_runner is None:
         raise ValueError("example_runner is required to derive sharding specs")
     specs = runner_sharding(mesh, example_runner, axis)
-    metric_keys = None  # metrics are all replicated scalars
-
     sharded = shard_map(
         body,
         mesh=mesh,

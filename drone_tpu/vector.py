@@ -98,6 +98,7 @@ class VecDrone:
         """-> (observations, infos). Buffers are (re)filled in place."""
         if seed is not None:
             self.seed = seed
+        self._pending = None  # drop any in-flight step from before the reset
         self._state = self.env.init_batch(self.seed, self.num_envs)
         obs = self.env.observe_batch(self._state)
         self.observations[:] = np.asarray(obs)

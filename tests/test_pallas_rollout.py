@@ -76,6 +76,28 @@ def test_megakernel_bitwise_equals_scan_path(task, integrator):
                                float(jnp.sum(ep_len)), rtol=1e-6)
 
 
+def test_megakernel_time_chunked_actions():
+    """A provided action stream longer than the VMEM budget is streamed as
+    host-side time chunks; the result must stay bitwise-equal to the scan
+    path (the kernel is sequential in time, so chunk boundaries are
+    invisible)."""
+    env = drone_tpu.DroneEnv()
+    n, t = 1024, 300  # lanes_per_block=1024 -> chunk=256 -> 2 kernel launches
+    p = env.params.replace(horizon=jnp.int32(60))
+    state = env.init_batch(9, n)
+    acts = jax.random.uniform(jax.random.PRNGKey(3), (t, n, 4), jnp.float32,
+                              -0.2, 0.4)
+    ref_final, (r, d, _, _) = _scan_ref(env, state, acts, p)
+    pal_final, stats = rollout_pallas(state, p, env.statics, t, actions=acts,
+                                      lanes_per_block=1024, interpret=True)
+    assert np.array_equal(
+        np.asarray(pack_fstate_batch(ref_final)).view(np.uint32),
+        np.asarray(pack_fstate_batch(pal_final)).view(np.uint32))
+    assert int(stats["episodes"]) == int(jnp.sum(d))
+    np.testing.assert_allclose(float(stats["reward_sum"]), float(jnp.sum(r)),
+                               rtol=1e-5)
+
+
 def test_megakernel_multiblock_grid():
     """Grid with >1 block must tile lanes without mixing them up."""
     env = drone_tpu.DroneEnv()
