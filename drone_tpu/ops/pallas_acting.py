@@ -60,7 +60,7 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, *w_refs,
     shape = c0[0].shape
     L = shape[0] * 128
     zero = jnp.zeros(shape, jnp.float32)
-    acc0 = (zero, zero, zero, zero)
+    acc0 = (zero,) * PR.N_STATS
 
     def body(t, carry):
         c, acc = carry
@@ -119,12 +119,12 @@ def _run(state, params, weights, *, T, lanes_per_block, task, integrator,
             plane(PR.NF), plane(PR.NU), plane(PR.NI),
             *[full(m.shape) for m in w_flat],
         ],
-        out_specs=(plane(PR.NF), plane(PR.NU), plane(PR.NI), plane(4)),
+        out_specs=(plane(PR.NF), plane(PR.NU), plane(PR.NI), plane(PR.N_STATS)),
         out_shape=(
             jax.ShapeDtypeStruct(fs.shape, jnp.float32),
             jax.ShapeDtypeStruct(us.shape, jnp.uint32),
             jax.ShapeDtypeStruct(st.shape, jnp.int32),
-            jax.ShapeDtypeStruct((4, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((PR.N_STATS, rows, 128), jnp.float32),
         ),
         interpret=interpret,
     )(pf, pi, fs, us, st, *w_flat)
@@ -146,9 +146,4 @@ def act_rollout_pallas(state: EnvState, policy_params, env_params: EnvParams,
                         lanes_per_block=lanes_per_block, task=statics.task,
                         integrator=statics.integrator,
                         n_layers=len(weights), interpret=interpret)
-    return final, {
-        "reward_sum": stats[0],
-        "episodes": stats[1],
-        "ep_return_sum": stats[2],
-        "ep_length_sum": stats[3],
-    }
+    return final, PR._stats_dict(stats)

@@ -376,13 +376,19 @@ def read_carry(fs_ref, us_ref, st_ref):
     )
 
 
+N_STATS = 5  # reward, episodes, ep_return, ep_length, ep_return^2
+
+
 def accumulate(acc, r, done, epret2, step2):
-    """Per-step stats accumulation: (reward, episodes, ep_return, ep_len)."""
+    """Per-step stats accumulation (N_STATS planes; ep_return^2 enables
+    episode-return variance without storing per-episode data)."""
     donef = done.astype(jnp.float32)
+    ep_ret = jnp.where(done, epret2, 0.0)
     return (acc[0] + r,
             acc[1] + donef,
-            acc[2] + jnp.where(done, epret2, 0.0),
-            acc[3] + donef * step2.astype(jnp.float32))
+            acc[2] + ep_ret,
+            acc[3] + donef * step2.astype(jnp.float32),
+            acc[4] + ep_ret * ep_ret)
 
 
 def write_back(c, acc, ofs_ref, ous_ref, ost_ref, stats_ref):
@@ -397,7 +403,7 @@ def write_back(c, acc, ofs_ref, ous_ref, ost_ref, stats_ref):
     ous_ref[0] = c[NF + 3]  # reset_count
     ous_ref[1] = c[NF + 4]  # key0
     ous_ref[2] = c[NF + 5]  # key1
-    for i in range(4):
+    for i in range(N_STATS):
         stats_ref[i] = acc[i]
 
 
@@ -409,7 +415,7 @@ def _rollout_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, act_ref,
     c0 = read_carry(fs_ref, us_ref, st_ref)
     shape = c0[0].shape
     zero = jnp.zeros(shape, jnp.float32)
-    acc0 = (zero, zero, zero, zero)  # reward, episodes, ep_return, ep_length
+    acc0 = (zero,) * N_STATS
 
     def body(t, carry):
         c, acc = carry
@@ -471,7 +477,7 @@ def _run(state, params, actions, *, T, lanes_per_block, task, integrator,
         jax.ShapeDtypeStruct(fs.shape, jnp.float32),
         jax.ShapeDtypeStruct(us.shape, jnp.uint32),
         jax.ShapeDtypeStruct(st.shape, jnp.int32),
-        jax.ShapeDtypeStruct((4, rows_total, 128), jnp.float32),
+        jax.ShapeDtypeStruct((N_STATS, rows_total, 128), jnp.float32),
     )
     plane_spec = lambda nf: pl.BlockSpec((nf, rb, 128), lambda i: (0, i, 0),
                                          memory_space=pltpu.VMEM)
@@ -490,12 +496,22 @@ def _run(state, params, actions, *, T, lanes_per_block, task, integrator,
             plane_spec(NF),
             plane_spec(NU),
             plane_spec(NI),
-            plane_spec(4),
+            plane_spec(N_STATS),
         ),
         out_shape=out_shapes,
         interpret=interpret,
     )(pf, pi, fs, us, st, act)
     return unpack_state(ofs, ous, ost), jnp.sum(stats, axis=(1, 2))
+
+
+def _stats_dict(stats):
+    return {
+        "reward_sum": stats[0],
+        "episodes": stats[1],
+        "ep_return_sum": stats[2],
+        "ep_length_sum": stats[3],
+        "ep_return_sq_sum": stats[4],
+    }
 
 
 def rollout_pallas(state: EnvState, params: EnvParams, statics: EnvStatics,
@@ -530,18 +546,13 @@ def rollout_pallas(state: EnvState, params: EnvParams, statics: EnvStatics,
     if chunk >= T:
         final, stats = run(state, params, actions, T=T)
     else:
-        stats = jnp.zeros(4, jnp.float32)
+        stats = jnp.zeros(N_STATS, jnp.float32)
         final = state
         for t0 in range(0, T, chunk):
             tc = min(chunk, T - t0)
             final, s = run(final, params, actions[t0:t0 + tc], T=tc)
             stats = stats + s
-    return final, {
-        "reward_sum": stats[0],
-        "episodes": stats[1],
-        "ep_return_sum": stats[2],
-        "ep_length_sum": stats[3],
-    }
+    return final, _stats_dict(stats)
 
 
 def rollout_hover_pallas(state: EnvState, params: EnvParams, T: int,

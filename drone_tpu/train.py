@@ -126,6 +126,29 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
     state = env.init_batch(cfg.run.seed + 1, n)
     horizon = int(env.params.horizon) + 1
 
+    if cfg.run.policy == "mlp" and deterministic and n % 128 == 0:
+        # fused policy+env megakernel (ops/pallas_acting): ~3x the scan
+        # acting path; episode stats accumulate on-chip incl. sum-of-squares
+        from drone_tpu.ops import act_rollout_pallas
+
+        _, stats = act_rollout_pallas(
+            state, params, env.params, env.statics, horizon,
+            lanes_per_block=min(8192, n),
+            # Mosaic kernels can't compile on the CPU backend (tests/dev);
+            # the interpreter executes the same program there. The real chip
+            # reports platform "axon"/"tpu" and takes the compiled path.
+            interpret=jax.default_backend() == "cpu",
+        )
+        n_ep = float(stats["episodes"])
+        mean = float(stats["ep_return_sum"]) / max(n_ep, 1.0)
+        var = float(stats["ep_return_sq_sum"]) / max(n_ep, 1.0) - mean * mean
+        return {
+            "episodes": int(n_ep),
+            "ep_return_mean": mean,
+            "ep_return_std": float(max(var, 0.0) ** 0.5),
+            "ep_length_mean": float(stats["ep_length_sum"]) / max(n_ep, 1.0),
+        }
+
     if cfg.run.policy == "lstm":
         from drone_tpu import ppo_rnn
 

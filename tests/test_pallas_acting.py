@@ -77,6 +77,29 @@ def test_acting_kernel_long_horizon_statistics():
     np.testing.assert_allclose(qn, 1.0, atol=1e-5)
 
 
+def test_evaluate_uses_acting_kernel(tmp_path):
+    """train.evaluate's MLP/deterministic fast path (episodes % 128 == 0)
+    returns sane stats from the on-chip accumulators, incl. the std from the
+    sum-of-squares plane."""
+    from drone_tpu.train import evaluate, train
+    from drone_tpu.utils.config import Config
+
+    cfg = Config.default().with_overrides([
+        "train.num_envs=64", "train.horizon=8", "train.epochs=1",
+        "train.num_minibatches=1", "run.mesh=false", "run.total_updates=1",
+        "run.log_interval=10", "run.checkpoint_interval=100",
+    ])
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.run.hidden = (16, 16)
+    cfg.env.params["horizon"] = 60
+    runner, _ = train(cfg)
+    stats = evaluate(cfg, runner=runner, episodes=128)
+    assert stats["episodes"] >= 128
+    assert np.isfinite(stats["ep_return_mean"])
+    assert stats["ep_return_std"] >= 0.0
+    assert 1.0 <= stats["ep_length_mean"] <= 61.0
+
+
 def test_acting_kernel_deep_tower_and_tasks():
     """Arbitrary actor depth + non-hover task wire through correctly."""
     env, model, params = _setup(task="waypoint", integrator="rk4",

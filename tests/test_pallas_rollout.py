@@ -74,6 +74,9 @@ def test_megakernel_bitwise_equals_scan_path(task, integrator):
                                float(jnp.sum(ep_ret)), rtol=1e-5)
     np.testing.assert_allclose(float(stats["ep_length_sum"]),
                                float(jnp.sum(ep_len)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(stats["ep_return_sq_sum"]),
+        float(jnp.sum(ep_ret.astype(jnp.float32) ** 2)), rtol=1e-4)
 
 
 def test_megakernel_time_chunked_actions():
