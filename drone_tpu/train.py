@@ -21,7 +21,7 @@ from drone_tpu.parallel import make_mesh, make_sharded_train_step
 from drone_tpu.parallel.mesh import place_runner
 from drone_tpu.utils.checkpoint import Checkpointer
 from drone_tpu.utils.config import Config
-from drone_tpu.utils.metrics import MetricsLogger, dashboard_line
+from drone_tpu.utils.metrics import MetricsLogger, RichDashboard, dashboard_line
 
 
 def build(cfg: Config):
@@ -79,6 +79,8 @@ def train(cfg: Config, on_update=None):
     metrics_path = cfg.run.metrics_path or (run_dir / "metrics.jsonl")
     logger = MetricsLogger(metrics_path,
                            tb_dir=(run_dir / "tb") if cfg.run.tensorboard else None)
+    rich_dash = (RichDashboard(cfg.run.total_updates)
+                 if cfg.run.dashboard == "rich" else None)
 
     steps_per_update = cfg.train.horizon * cfg.train.num_envs
     last = None
@@ -98,7 +100,11 @@ def train(cfg: Config, on_update=None):
             t_last = now
             u_last = u + 1
             rec = logger.log((u + 1) * steps_per_update, m, sps=sps)
-            print(dashboard_line(u + 1, cfg.run.total_updates, rec), flush=True)
+            if rich_dash is not None:
+                rich_dash.update(u + 1, rec)
+            else:
+                print(dashboard_line(u + 1, cfg.run.total_updates, rec),
+                      flush=True)
             last = rec
             if on_update is not None:
                 on_update(u + 1, rec)
@@ -107,6 +113,8 @@ def train(cfg: Config, on_update=None):
     ckpt.save(cfg.run.total_updates, runner)
     ckpt.wait()
     logger.close()
+    if rich_dash is not None:
+        rich_dash.close()
     return runner, last
 
 

@@ -37,6 +37,7 @@ class RunConfig:
     policy: str = "mlp"             # "mlp" | "lstm" (recurrent PPO w/ BPTT)
     lstm_hidden: int = 128
     tensorboard: bool = False       # also write TB events to <run>/tb/
+    dashboard: str = "plain"        # "plain" (one line per log) | "rich" (live)
 
 
 @dataclasses.dataclass

@@ -64,6 +64,45 @@ class MetricsLogger:
             self._tb.close()
 
 
+class RichDashboard:
+    """Live-updating console dashboard (the reference trainer's rich
+    dashboard, SURVEY.md §5 tracing note). Falls back to plain lines when
+    rich isn't importable. Enable with run.dashboard='rich'."""
+
+    FIELDS = ("SPS", "ep_return_mean", "ep_length_mean", "reward_mean",
+              "loss", "pg_loss", "v_loss", "entropy", "approx_kl", "clipfrac",
+              "episodes")
+
+    def __init__(self, total_updates: int):
+        try:
+            from rich.live import Live
+            from rich.table import Table
+        except ImportError:  # pragma: no cover
+            self._live = None
+            return
+        self._Table = Table
+        self.total = total_updates
+        self._live = Live(auto_refresh=False)
+        self._live.start()
+
+    def update(self, u: int, rec: dict):
+        if self._live is None:
+            print(dashboard_line(u, self.total, rec), flush=True)
+            return
+        t = self._Table(title=f"drone_tpu train — update {u}/{self.total}")
+        t.add_column("metric")
+        t.add_column("value", justify="right")
+        for k in self.FIELDS:
+            if k in rec:
+                v = rec[k]
+                t.add_row(k, f"{v:,.4g}" if isinstance(v, float) else str(v))
+        self._live.update(t, refresh=True)
+
+    def close(self):
+        if self._live is not None:
+            self._live.stop()
+
+
 def dashboard_line(update: int, total: int, rec: dict) -> str:
     """One human-readable console line per log interval (the reference's
     rich dashboard, reduced to what matters)."""

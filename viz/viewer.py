@@ -6,7 +6,9 @@ visualizer ... renderer is not on the perf path"; raylib is not available in
 this image). Usage:
 
     python -m viz.viewer trajectory.csv [out.png]
-    python -m viz.viewer --rollout policy_ckpt_dir [out.png]   # roll + render
+    python -m viz.viewer trajectory.csv out.gif    # animated flight (the
+                                                   # reference's demo-video
+                                                   # artifact, README.md:9-11)
 """
 
 from __future__ import annotations
@@ -54,6 +56,48 @@ def render(rows, out_path="trajectory.png", title="drone trajectory"):
     return out_path
 
 
+def render_gif(rows, out_path="trajectory.gif", title="drone flight",
+               fps=25, stride=4, trail=120):
+    """Animated 3-D flight — the reference repo's user-facing artifact is a
+    demo video of exactly this (SURVEY.md §2.2 #3)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    xs = [r["x"] for r in rows]
+    ys = [r["y"] for r in rows]
+    zs = [r["z"] for r in rows]
+
+    fig = plt.figure(figsize=(7, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.set_xlim(min(xs), max(xs) or 1)
+    ax.set_ylim(min(ys), max(ys) or 1)
+    ax.set_zlim(0, max(zs) or 1)
+    ax.set_title(title)
+    (trail_ln,) = ax.plot([], [], [], lw=1.0, c="tab:blue")
+    (dot,) = ax.plot([], [], [], "o", c="tab:blue", ms=6)
+    (tgt,) = ax.plot([], [], [], "x", c="red", ms=8)
+
+    frames = range(0, len(rows), stride)
+
+    def update(i):
+        lo = max(0, i - trail)
+        trail_ln.set_data(xs[lo:i + 1], ys[lo:i + 1])
+        trail_ln.set_3d_properties(zs[lo:i + 1])
+        dot.set_data([xs[i]], [ys[i]])
+        dot.set_3d_properties([zs[i]])
+        tgt.set_data([rows[i]["tx"]], [rows[i]["ty"]])
+        tgt.set_3d_properties([rows[i]["tz"]])
+        return trail_ln, dot, tgt
+
+    anim = animation.FuncAnimation(fig, update, frames=frames, blit=False)
+    anim.save(out_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_path
+
+
 def dump_rollout(env, params_pytree, policy_fn, steps, out_csv, seed=0):
     """Python-side trajectory dumper (same CSV schema as native/demo.c)."""
     import jax
@@ -83,7 +127,11 @@ def main(argv=None):
     src = argv[0]
     out = argv[1] if len(argv) > 1 else "trajectory.png"
     rows = load_csv(src)
-    path = render(rows, out, title=f"{Path(src).name} ({len(rows)} steps)")
+    title = f"{Path(src).name} ({len(rows)} steps)"
+    if out.endswith(".gif"):
+        path = render_gif(rows, out, title=title)
+    else:
+        path = render(rows, out, title=title)
     print(f"wrote {path}")
     return 0
 
