@@ -60,8 +60,18 @@ def main(argv=None):
         stats = evaluate(cfg)
         print(json.dumps(stats, indent=2))
     elif args.cmd == "bench":
-        import bench  # repo-root bench.py
+        try:
+            import bench  # repo-root bench.py (cwd == repo root)
+        except ImportError:  # run from anywhere: load it next to the package
+            import importlib.util
+            from pathlib import Path
 
+            import drone_tpu
+
+            path = Path(drone_tpu.__file__).resolve().parent.parent / "bench.py"
+            spec = importlib.util.spec_from_file_location("bench", path)
+            bench = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(bench)
         bench.main(cfg)
     elif args.cmd == "sweep":
         from drone_tpu.sweep import run_sweep

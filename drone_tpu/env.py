@@ -106,7 +106,10 @@ def _step_continued(state: EnvState, action, p: EnvParams, statics: EnvStatics):
     elif statics.task == "racing":
         reached = d2 < p.reach_tol2
         r = jnp.where(reached, r + p.reach_bonus, r)
-        gate_next = jnp.mod(state.gate_idx + jnp.int32(1), p.n_gates)
+        # max(n_gates, 1) mirrors the C oracle's SIGFPE guard (identical
+        # when n_gates >= 1, the validated range)
+        gate_next = jnp.mod(state.gate_idx + jnp.int32(1),
+                            jnp.maximum(p.n_gates, jnp.int32(1)))
         gate_idx2 = jnp.where(reached, gate_next, state.gate_idx)
         target2 = p.gates[gate_idx2]
         wp_count2 = state.wp_count + jnp.where(reached, jnp.uint32(1), jnp.uint32(0))

@@ -67,6 +67,11 @@ def export_flat_weights(params, path: str, hidden=None) -> None:
         layers.append(_dense(p, "actor_mean", ACT_NONE))
         version = 2
     else:
+        if "actor_h0" not in p:
+            raise ValueError(
+                "params are not an exportable ActorCritic/LSTMActorCritic "
+                f"tower (found {sorted(p)}); CNN policies have no C runtime"
+            )
         i = 0
         while f"actor_h{i}" in p:
             layers.append(_dense(p, f"actor_h{i}", ACT_TANH))

@@ -334,7 +334,8 @@ def _env_step(c, a0, a1, a2, a3, P, task, integrator):
     elif task == "racing":
         reached = d2 < P.reach_tol2
         r = jnp.where(reached, r + P.reach_bonus, r)
-        gate_next = jnp.mod(gi + jnp.int32(1), P.n_gates)
+        gate_next = jnp.mod(gi + jnp.int32(1),
+                            jnp.maximum(P.n_gates, jnp.int32(1)))
         gi2 = jnp.where(reached, gate_next, gi)
         tx2, ty2, tz2 = _gate_target(gi2, P)
         wp2 = wp + jnp.where(reached, jnp.uint32(1), jnp.uint32(0))

@@ -76,8 +76,11 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
             c.run.total_updates = int(updates)
             c.run.run_name = f"{cfg.run.run_name}-sweep-r{rung_idx}-t{i}"
             c.run.checkpoint_interval = 10**9  # no checkpoints during sweep
+            c.run.save_final = False
             final = train_fn(c)
             score = float(final.get(metric, float("-inf"))) if final else float("-inf")
+            if math.isnan(score):
+                score = float("-inf")  # diverged trial; NaN keys break sort
             trial["scores"].append(score)
             print(f"[sweep] rung {rung_idx} trial {i}: {metric}={score:.3f} "
                   f"point={trial['point']}")

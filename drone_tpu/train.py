@@ -26,6 +26,14 @@ from drone_tpu.utils.metrics import MetricsLogger, RichDashboard, dashboard_line
 
 def build(cfg: Config):
     """Config -> (env, model, optimizer, runner, step_fn, mesh|None)."""
+    import dataclasses
+
+    # run.total_updates is the authoritative run length; sync it into the
+    # train config so lr annealing spans the actual run (otherwise a long
+    # run with anneal_lr=true silently hits lr=0 at train.total_updates)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, total_updates=cfg.run.total_updates))
     statics, params = cfg.env.build()
     env = drone_tpu.DroneEnv(task=statics.task, integrator=statics.integrator,
                              params=params)
@@ -110,8 +118,10 @@ def train(cfg: Config, on_update=None):
                 on_update(u + 1, rec)
         if (u + 1) % cfg.run.checkpoint_interval == 0:
             ckpt.save(u + 1, runner)
-    ckpt.save(cfg.run.total_updates, runner)
+    if cfg.run.save_final:
+        ckpt.save(cfg.run.total_updates, runner)
     ckpt.wait()
+    ckpt.close()
     logger.close()
     if rich_dash is not None:
         rich_dash.close()

@@ -38,6 +38,7 @@ class RunConfig:
     lstm_hidden: int = 128
     tensorboard: bool = False       # also write TB events to <run>/tb/
     dashboard: str = "plain"        # "plain" (one line per log) | "rich" (live)
+    save_final: bool = True         # checkpoint at the end (sweeps disable)
 
 
 @dataclasses.dataclass

@@ -74,6 +74,7 @@ class RichDashboard:
               "episodes")
 
     def __init__(self, total_updates: int):
+        self.total = total_updates
         try:
             from rich.live import Live
             from rich.table import Table
@@ -81,7 +82,6 @@ class RichDashboard:
             self._live = None
             return
         self._Table = Table
-        self.total = total_updates
         self._live = Live(auto_refresh=False)
         self._live.start()
 

@@ -17,33 +17,7 @@
 #include <stdint.h>
 
 #include "dronenet.h"
-
-/* Oracle API (oracle/drone_oracle.c). DroneParams layout must match. */
-#define MAX_GATES 8
-typedef struct {
-  float mass, gravity, arm_l, thrust_max, torque_coef;
-  float inertia_x, inertia_y, inertia_z;
-  float drag_lin, drag_ang, dt;
-  float target[3];
-  float bound, tilt_min;
-  int32_t horizon;
-  float c_vel, c_spin, c_act, crash_penalty, reach_bonus, reach_tol2;
-  float pos_radius, vel_max_init, rot_max_init, omega_max_init;
-  float dr_mass_lo, dr_mass_hi, dr_thrust_lo, dr_thrust_hi;
-  float wp_box, wp_zmin, wp_zmax;
-  float gates[MAX_GATES * 3];
-  int32_t n_gates;
-} DroneParams;
-
-void drone_lane_key(uint32_t seed, uint32_t lane, uint32_t out[2]);
-void drone_reset(float *fs, int32_t *is, const DroneParams *p, uint32_t k0,
-                 uint32_t k1, uint32_t episode, int task);
-void drone_observe(const float *fs, float *obs);
-void drone_step_keyed(float *fs, int32_t *is, const float *action,
-                      const DroneParams *p, uint32_t k0, uint32_t k1, int task,
-                      int integrator, float *obs, float *reward,
-                      int32_t *terminated, int32_t *truncated,
-                      float *ep_return, int32_t *ep_length);
+#include "../oracle/drone_oracle.h" /* DroneParams + oracle API */
 
 /* Defaults mirror drone_tpu/types.py default_params(). */
 static DroneParams default_params(void) {
@@ -81,6 +55,13 @@ int main(int argc, char **argv) {
     fprintf(stderr, "failed to load policy %s\n", argv[1]);
     return 1;
   }
+  if (net.in_dim != DRONE_OBS_DIM || net.out_dim != DRONE_ACT_DIM) {
+    fprintf(stderr,
+            "policy io mismatch: %s has in=%d out=%d, env needs in=%d out=%d\n",
+            argv[1], net.in_dim, net.out_dim, DRONE_OBS_DIM, DRONE_ACT_DIM);
+    dronenet_free(&net);
+    return 1;
+  }
   DroneParams p = default_params();
   if (argc > 2 && strcmp(argv[2], "-") != 0) {
     FILE *f = fopen(argv[2], "rb");
@@ -104,7 +85,10 @@ int main(int argc, char **argv) {
   drone_reset(fs, is, &p, key[0], key[1], 0, task);
 
   FILE *traj = fopen("trajectory.csv", "w");
-  if (traj) fprintf(traj, "t,x,y,z,tx,ty,tz,reward\n");
+  /* done=1 rows hold the NEXT episode's spawn state (the step auto-resets),
+   * so the viewer starts a fresh trail segment there instead of drawing a
+   * teleport from the crash site back to the spawn point. */
+  if (traj) fprintf(traj, "t,x,y,z,tx,ty,tz,reward,done\n");
 
   float obs[13], action[4], reward, ep_return;
   int32_t term, trunc, ep_length;
@@ -117,8 +101,9 @@ int main(int argc, char **argv) {
     drone_step_keyed(fs, is, action, &p, key[0], key[1], task, 0, obs, &reward,
                      &term, &trunc, &ep_return, &ep_length);
     if (traj && done_eps == 0)
-      fprintf(traj, "%ld,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f\n", t, fs[0],
-              fs[1], fs[2], fs[13], fs[14], fs[15], reward);
+      fprintf(traj, "%ld,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%d\n", t, fs[0],
+              fs[1], fs[2], fs[13], fs[14], fs[15], reward,
+              (term || trunc) ? 1 : 0);
     if (term || trunc) {
       printf("episode %d: return %.2f length %d %s\n", done_eps, ep_return,
              ep_length, term ? "(crash)" : "(horizon)");

@@ -26,6 +26,8 @@
 #include <stdint.h>
 #include <string.h>
 
+#include "drone_oracle.h" /* DroneParams + public API (single definition) */
+
 #define DRONE_API __attribute__((visibility("default")))
 
 #define OBS_DIM 13
@@ -52,22 +54,9 @@ enum { I_STEP = 0, I_RESET, I_WPC, I_GATE };
 enum { TASK_HOVER = 0, TASK_WAYPOINT = 1, TASK_RACING = 2 };
 enum { INTEG_EULER = 0, INTEG_RK4 = 1 };
 
-/* Params: field order mirrors drone_tpu/types.py EnvParams and the ctypes
- * struct in oracle/oracle.py. All float32 except horizon/n_gates. */
-typedef struct {
-  float mass, gravity, arm_l, thrust_max, torque_coef;
-  float inertia_x, inertia_y, inertia_z;
-  float drag_lin, drag_ang, dt;
-  float target[3];
-  float bound, tilt_min;
-  int32_t horizon;
-  float c_vel, c_spin, c_act, crash_penalty, reach_bonus, reach_tol2;
-  float pos_radius, vel_max_init, rot_max_init, omega_max_init;
-  float dr_mass_lo, dr_mass_hi, dr_thrust_lo, dr_thrust_hi;
-  float wp_box, wp_zmin, wp_zmax;
-  float gates[MAX_GATES * 3];
-  int32_t n_gates;
-} DroneParams;
+/* DroneParams comes from drone_oracle.h (field order mirrors
+ * drone_tpu/types.py EnvParams and the ctypes struct in oracle/oracle.py;
+ * all float32 except horizon/n_gates). */
 
 /* ------------------------------------------------------------------ RNG -- */
 /* Mirrors drone_tpu/prng.py threefry2x32 (Threefry-2x32, 20 rounds). */
@@ -391,7 +380,10 @@ DRONE_API void drone_step_keyed(float *fs, int32_t *is, const float *action,
     int reached = d2 < p->reach_tol2;
     if (reached) {
       r = r + p->reach_bonus;
-      is[I_GATE] = (is[I_GATE] + 1) % p->n_gates;
+      /* max(n_gates, 1): mod-by-zero is SIGFPE in C but returns 0 in XLA;
+       * both sides use the clamped modulus (identical when n_gates >= 1) */
+      int32_t ng = p->n_gates > 1 ? p->n_gates : 1;
+      is[I_GATE] = (is[I_GATE] + 1) % ng;
       fs[F_TX] = p->gates[is[I_GATE] * 3 + 0];
       fs[F_TY] = p->gates[is[I_GATE] * 3 + 1];
       fs[F_TZ] = p->gates[is[I_GATE] * 3 + 2];

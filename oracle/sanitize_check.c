@@ -11,30 +11,7 @@
 #include <stdio.h>
 #include <string.h>
 
-#define MAX_GATES 8
-typedef struct {
-  float mass, gravity, arm_l, thrust_max, torque_coef;
-  float inertia_x, inertia_y, inertia_z;
-  float drag_lin, drag_ang, dt;
-  float target[3];
-  float bound, tilt_min;
-  int32_t horizon;
-  float c_vel, c_spin, c_act, crash_penalty, reach_bonus, reach_tol2;
-  float pos_radius, vel_max_init, rot_max_init, omega_max_init;
-  float dr_mass_lo, dr_mass_hi, dr_thrust_lo, dr_thrust_hi;
-  float wp_box, wp_zmin, wp_zmax;
-  float gates[MAX_GATES * 3];
-  int32_t n_gates;
-} DroneParams;
-
-void drone_lane_key(uint32_t seed, uint32_t lane, uint32_t out[2]);
-void drone_reset(float *fs, int32_t *is, const DroneParams *p, uint32_t k0,
-                 uint32_t k1, uint32_t episode, int task);
-void drone_step_keyed(float *fs, int32_t *is, const float *action,
-                      const DroneParams *p, uint32_t k0, uint32_t k1, int task,
-                      int integrator, float *obs, float *reward,
-                      int32_t *terminated, int32_t *truncated,
-                      float *ep_return, int32_t *ep_length);
+#include "drone_oracle.h" /* DroneParams + oracle API (single definition) */
 
 static DroneParams defaults(void) {
   DroneParams p;

@@ -41,7 +41,13 @@ def render(rows, out_path="trajectory.png", title="drone trajectory"):
 
     fig = plt.figure(figsize=(10, 7))
     ax = fig.add_subplot(111, projection="3d")
-    ax.plot(xs, ys, zs, lw=0.8, label="drone")
+    # a done=1 row holds the NEXT episode's spawn (auto-reset): break the
+    # trail there so episode boundaries don't render as teleports
+    starts = [0] + [i for i, r in enumerate(rows) if r.get("done", 0) == 1]
+    segs = list(zip(starts, starts[1:] + [len(rows)]))
+    for k, (lo, hi) in enumerate(segs):
+        ax.plot(xs[lo:hi], ys[lo:hi], zs[lo:hi], lw=0.8,
+                label="drone" if k == 0 else None)
     ax.scatter(txs[:: max(1, len(txs) // 50)], tys[:: max(1, len(tys) // 50)],
                tzs[:: max(1, len(tzs) // 50)], marker="x", s=40, c="red",
                label="target")
@@ -81,9 +87,16 @@ def render_gif(rows, out_path="trajectory.gif", title="drone flight",
     (tgt,) = ax.plot([], [], [], "x", c="red", ms=8)
 
     frames = range(0, len(rows), stride)
+    # episode start index for each row (done=1 rows begin a new episode)
+    ep_start = []
+    start = 0
+    for i, r in enumerate(rows):
+        if r.get("done", 0) == 1:
+            start = i
+        ep_start.append(start)
 
     def update(i):
-        lo = max(0, i - trail)
+        lo = max(ep_start[i], i - trail)
         trail_ln.set_data(xs[lo:i + 1], ys[lo:i + 1])
         trail_ln.set_3d_properties(zs[lo:i + 1])
         dot.set_data([xs[i]], [ys[i]])
@@ -107,15 +120,17 @@ def dump_rollout(env, params_pytree, policy_fn, steps, out_csv, seed=0):
     obs = env.observe(state)
     step_j = jax.jit(lambda s, a: env.step(s, a, params_pytree))
     with open(out_csv, "w") as f:
-        f.write("t,x,y,z,tx,ty,tz,reward\n")
+        f.write("t,x,y,z,tx,ty,tz,reward,done\n")
         for t in range(steps):
             a = policy_fn(np.asarray(obs))
             state, out = step_j(state, a)
             obs = out.obs
             p = np.asarray(state.pos)
             tg = np.asarray(state.target)
+            done = int(bool(out.terminated) or bool(out.truncated))
             f.write(f"{t},{p[0]:.4f},{p[1]:.4f},{p[2]:.4f},"
-                    f"{tg[0]:.4f},{tg[1]:.4f},{tg[2]:.4f},{float(out.reward):.4f}\n")
+                    f"{tg[0]:.4f},{tg[1]:.4f},{tg[2]:.4f},"
+                    f"{float(out.reward):.4f},{done}\n")
     return out_csv
 
 
