@@ -9,9 +9,12 @@ feed the env step without ever touching HBM. This is the serving/eval
 configuration: measured 1.8B policy-steps/s on one v5e vs 0.55B for the
 XLA scan acting path (policy forward + env step both at full precision).
 
-Deterministic actions only (action = policy mean) — exactly what
-evaluate() uses; stochastic rollouts for TRAINING need stored
-obs/logp/value anyway and stay on the scan path (drone_tpu.ppo).
+Two action modes:
+  - deterministic (default): action = policy mean — what evaluate() uses.
+  - stochastic=True: action = mean + exp(log_std) * z with z ~ N(0,1) from
+    an in-kernel Box-Muller over the lane's threefry stream (blocks
+    NOISE_BLOCK0 + 2t) — exploration-style data generation at kernel speed.
+    Training itself stays on the scan path (PPO must store obs/logp/value).
 
 Reference: SURVEY.md §3.3 (`puffer eval` rollout loop — policy forward +
 c_step per frame, here fused per VMEM-resident lane block).
@@ -26,8 +29,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from drone_tpu import prng
 from drone_tpu.ops import pallas_rollout as PR
 from drone_tpu.types import OBS_DIM, EnvParams, EnvState, EnvStatics
+
+NOISE_BLOCK0 = 0x60000000  # exploration-noise stream (disjoint from
+                           # ACTION_BLOCK0 and the reset/waypoint blocks)
+_TWO_PI = 6.2831853071795864
 
 
 def actor_weights(params):
@@ -47,8 +55,27 @@ def actor_weights(params):
     return ws
 
 
-def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, *w_refs,
-                   T, task, integrator, n_layers):
+def _gauss4(k0, k1, e, t, shape):
+    """4 standard normals per lane at noise blocks NOISE_BLOCK0 + 2t (+1):
+    Box-Muller over the lane's counter stream."""
+    jb = jnp.uint32(NOISE_BLOCK0) + jnp.uint32(2) * jnp.asarray(t, jnp.uint32)
+    b0, b1 = prng.threefry2x32(k0, k1, e, jb)
+    b2, b3 = prng.threefry2x32(k0, k1, e, jb + jnp.uint32(1))
+    u1 = PR._uniform(b0)
+    u2 = PR._uniform(b1)
+    u3 = PR._uniform(b2)
+    u4 = PR._uniform(b3)
+    # 1-u in (0, 1]: log never sees 0
+    r1 = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
+    r2 = jnp.sqrt(-2.0 * jnp.log(1.0 - u3))
+    a1 = jnp.float32(_TWO_PI) * u2
+    a2 = jnp.float32(_TWO_PI) * u4
+    return (r1 * jnp.cos(a1), r1 * jnp.sin(a1),
+            r2 * jnp.cos(a2), r2 * jnp.sin(a2))
+
+
+def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, std_ref, *w_refs,
+                   T, task, integrator, n_layers, stochastic):
     # w_refs: 2*n_layers weight/bias refs, then the 4 output refs
     ofs_ref, ous_ref, ost_ref, stats_ref = w_refs[2 * n_layers:]
     w_refs = w_refs[: 2 * n_layers]
@@ -77,6 +104,13 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, *w_refs,
         a1 = x[1].reshape(shape)
         a2 = x[2].reshape(shape)
         a3 = x[3].reshape(shape)
+        if stochastic:
+            rc, k0, k1 = c[22], c[23], c[24]
+            z0, z1, z2, z3 = _gauss4(k0, k1, rc, t, shape)
+            a0 = a0 + std_ref[0, 0] * z0
+            a1 = a1 + std_ref[0, 1] * z1
+            a2 = a2 + std_ref[0, 2] * z2
+            a3 = a3 + std_ref[0, 3] * z3
         c2, r, done, epret2, step2 = PR._env_step(c, a0, a1, a2, a3, P,
                                                   task, integrator)
         return c2, PR.accumulate(acc, r, done, epret2, step2)
@@ -88,11 +122,11 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, *w_refs,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "lanes_per_block", "task", "integrator",
-                     "n_layers", "interpret"),
+                     "n_layers", "interpret", "stochastic"),
     donate_argnums=(0,),
 )
-def _run(state, params, weights, *, T, lanes_per_block, task, integrator,
-         n_layers, interpret=False):
+def _run(state, params, weights, std, *, T, lanes_per_block, task, integrator,
+         n_layers, interpret=False, stochastic=False):
     n = state.pos.shape[0]
     fs, us, st = PR.pack_state(state, n // 128)
     pf, pi = PR._pack_params(params)
@@ -108,7 +142,8 @@ def _run(state, params, weights, *, T, lanes_per_block, task, integrator,
 
     w_flat = [m for wb in weights for m in wb]
     kernel = functools.partial(_acting_kernel, T=T, task=task,
-                               integrator=integrator, n_layers=n_layers)
+                               integrator=integrator, n_layers=n_layers,
+                               stochastic=stochastic)
     ofs, ous, ost, stats = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -117,6 +152,7 @@ def _run(state, params, weights, *, T, lanes_per_block, task, integrator,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             plane(PR.NF), plane(PR.NU), plane(PR.NI),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             *[full(m.shape) for m in w_flat],
         ],
         out_specs=(plane(PR.NF), plane(PR.NU), plane(PR.NI), plane(PR.N_STATS)),
@@ -127,23 +163,30 @@ def _run(state, params, weights, *, T, lanes_per_block, task, integrator,
             jax.ShapeDtypeStruct((PR.N_STATS, rows, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(pf, pi, fs, us, st, *w_flat)
+    )(pf, pi, fs, us, st, std, *w_flat)
     return PR.unpack_state(ofs, ous, ost), jnp.sum(stats, axis=(1, 2))
 
 
 def act_rollout_pallas(state: EnvState, policy_params, env_params: EnvParams,
                        statics: EnvStatics, T: int,
-                       lanes_per_block: int = 8192, interpret: bool = False):
-    """Run T deterministic policy+env steps entirely on-chip.
+                       lanes_per_block: int = 8192, interpret: bool = False,
+                       stochastic: bool = False):
+    """Run T policy+env steps entirely on-chip.
 
     policy_params: flax ActorCritic variables (any depth of actor_h{i}).
+    stochastic=True samples action = mean + exp(log_std) * N(0,1) from the
+    params' log_std via in-kernel Box-Muller (counter streams; lanes stay
+    independent and reproducible).
     Returns (final EnvState, stats dict) — same contract as rollout_pallas.
     """
     n = state.pos.shape[0]
     assert n % lanes_per_block == 0, (n, lanes_per_block)
     weights = actor_weights(policy_params)
-    final, stats = _run(state, env_params, tuple(weights), T=T,
+    p = policy_params["params"] if "params" in policy_params else policy_params
+    std = jnp.exp(jnp.asarray(p["log_std"], jnp.float32)).reshape(1, 4)
+    final, stats = _run(state, env_params, tuple(weights), std, T=T,
                         lanes_per_block=lanes_per_block, task=statics.task,
                         integrator=statics.integrator,
-                        n_layers=len(weights), interpret=interpret)
+                        n_layers=len(weights), interpret=interpret,
+                        stochastic=stochastic)
     return final, PR._stats_dict(stats)

@@ -100,6 +100,48 @@ def test_evaluate_uses_acting_kernel(tmp_path):
     assert 1.0 <= stats["ep_length_mean"] <= 61.0
 
 
+def test_acting_kernel_stochastic_mode():
+    """stochastic=True adds exp(log_std) * N(0,1) exploration noise from the
+    in-kernel counter stream: reproducible, lane-independent, and
+    statistically sane (std of effective noise ~= exp(log_std))."""
+    env, model, params = _setup()
+    # widen the exploration noise so the effect is unmistakable
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    N, T = 512, 50
+    state = env.init_batch(4, N)
+    det, sdet = act_rollout_pallas(env.init_batch(4, N), params, env.params,
+                                   env.statics, T, lanes_per_block=N,
+                                   interpret=True)
+    sto1, s1 = act_rollout_pallas(env.init_batch(4, N), params, env.params,
+                                  env.statics, T, lanes_per_block=N,
+                                  interpret=True, stochastic=True)
+    sto2, s2 = act_rollout_pallas(env.init_batch(4, N), params, env.params,
+                                  env.statics, T, lanes_per_block=N,
+                                  interpret=True, stochastic=True)
+    # reproducible (pure counter streams)
+    np.testing.assert_array_equal(pack_fstate_batch(sto1),
+                                  pack_fstate_batch(sto2))
+    # actually different from deterministic
+    assert not np.array_equal(pack_fstate_batch(sto1), pack_fstate_batch(det))
+    assert float(s1["reward_sum"]) != float(sdet["reward_sum"])
+    # noise sanity: numpy mirror of the kernel's Box-Muller over the same
+    # threefry blocks gives ~N(0,1) (pltpu.bitcast only exists in-kernel)
+    from drone_tpu import prng as prng_mod
+    from drone_tpu.ops.pallas_acting import NOISE_BLOCK0
+
+    lanes = np.arange(4096, dtype=np.uint32)
+    k0, k1 = prng_mod.threefry2x32_np(np.uint32(0),
+                                      np.uint32(prng_mod.GOLDEN),
+                                      lanes, np.uint32(0))
+    b0, b1 = prng_mod.threefry2x32_np(k0, k1, np.uint32(0),
+                                      np.uint32(NOISE_BLOCK0))
+    u1 = prng_mod.bits_to_uniform_np(b0)
+    u2 = prng_mod.bits_to_uniform_np(b1)
+    r = np.sqrt(-2.0 * np.log1p(-u1.astype(np.float64)))
+    z = np.concatenate([r * np.cos(2 * np.pi * u2), r * np.sin(2 * np.pi * u2)])
+    assert abs(z.mean()) < 0.05 and abs(z.std() - 1.0) < 0.05
+
+
 def test_acting_kernel_deep_tower_and_tasks():
     """Arbitrary actor depth + non-hover task wire through correctly."""
     env, model, params = _setup(task="waypoint", integrator="rk4",
