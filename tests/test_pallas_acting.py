@@ -153,3 +153,24 @@ def test_acting_kernel_deep_tower_and_tasks():
                                 lanes_per_block=N, interpret=True)
     np.testing.assert_allclose(pack_fstate_batch(pal), pack_fstate_batch(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_acting_kernel_over_mesh():
+    """shard_map'd fused policy+env kernel == single-device run (same matmul
+    formulation both sides; params ride as traced args)."""
+    from drone_tpu.ops import sharded_act_rollout_pallas
+    from drone_tpu.parallel import make_mesh
+
+    env, model, params = _setup()
+    n = 8 * 256
+    p = env.params.replace(horizon=jnp.int32(60))
+    final, stats = sharded_act_rollout_pallas(
+        make_mesh(), env.init_batch(6, n), params, p, env.statics, 50,
+        lanes_per_block=256, interpret=True)
+    ref, ref_stats = act_rollout_pallas(
+        env.init_batch(6, n), params, p, env.statics, 50,
+        lanes_per_block=256, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(pack_fstate_batch(final)).view(np.uint32),
+        np.asarray(pack_fstate_batch(ref)).view(np.uint32))
+    assert float(stats["episodes"]) == float(ref_stats["episodes"])

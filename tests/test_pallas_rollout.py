@@ -128,3 +128,30 @@ def test_megakernel_rng_action_mode():
     assert np.isfinite(fs).all()
     # lanes independent: distinct positions
     assert len(np.unique(fs[:, 0])) > 200
+
+
+def test_sharded_megakernel_over_mesh():
+    """shard_map'd megakernel on the 8-device virtual mesh: bitwise-equal to
+    the single-device run, with globally psum'd stats (the pod-scale form of
+    the BASELINE env-throughput metric)."""
+    from drone_tpu.ops import sharded_rollout_pallas
+    from drone_tpu.parallel import make_mesh
+
+    env = drone_tpu.DroneEnv()
+    n = 8 * 256
+    p = env.params.replace(horizon=jnp.int32(60))
+    mesh = make_mesh()
+    final, stats = sharded_rollout_pallas(
+        mesh, env.init_batch(3, n), p, env.statics, 50,
+        lanes_per_block=256, interpret=True)
+    ref, ref_stats = rollout_pallas(
+        env.init_batch(3, n), p, env.statics, 50,
+        lanes_per_block=256, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(pack_fstate_batch(final)).view(np.uint32),
+        np.asarray(pack_fstate_batch(ref)).view(np.uint32))
+    assert float(stats["episodes"]) == float(ref_stats["episodes"]) > 0
+    # state stays sharded over the mesh (no implicit gather)
+    from jax.sharding import PartitionSpec as P
+
+    assert final.pos.sharding.spec == P("data")
