@@ -174,3 +174,51 @@ def test_sharded_acting_kernel_over_mesh():
         np.asarray(pack_fstate_batch(final)).view(np.uint32),
         np.asarray(pack_fstate_batch(ref)).view(np.uint32))
     assert float(stats["episodes"]) == float(ref_stats["episodes"])
+
+
+def test_lstm_acting_kernel_matches_scan():
+    """Recurrent acting kernel vs ppo_rnn.rollout_recurrent (deterministic):
+    short-horizon tolerance + carry round-trip + long-run episode stats."""
+    from drone_tpu import ppo_rnn
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.ops import lstm_act_rollout_pallas
+
+    env = drone_tpu.DroneEnv()
+    model = LSTMActorCritic(hidden=16, encoder=(16,))
+    carry = model.initial_carry((256,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)),
+                        model.initial_carry((1,)))
+
+    # short horizon: states within tolerance, carries close
+    N, T = 256, 3
+    state = env.init_batch(2, N)
+    ref_s, ref_c, _ = jax.jit(
+        lambda s, c, p: ppo_rnn.rollout_recurrent(model, params, env, s, c, T)
+    )(state, carry, env.params)
+    pal_s, pal_c, _ = lstm_act_rollout_pallas(
+        env.init_batch(2, N), params, carry, env.params, env.statics, T,
+        lanes_per_block=N, interpret=True)
+    np.testing.assert_allclose(pack_fstate_batch(pal_s),
+                               pack_fstate_batch(ref_s), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pal_c[0]), np.asarray(ref_c[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal_c[1]), np.asarray(ref_c[1]),
+                               rtol=1e-4, atol=1e-5)
+
+    # long horizon with resets: episode counts agree statistically and the
+    # carry keeps being zeroed on done lanes (finite, bounded)
+    T2 = 300
+    p = env.params.replace(horizon=jnp.int32(50))
+    env2 = drone_tpu.DroneEnv(params=p)
+    _, _, outs = jax.jit(
+        lambda s, c: ppo_rnn.rollout_recurrent(model, params, env2, s, c, T2)
+    )(env.init_batch(2, N), carry)
+    n_ref = int(jnp.sum(outs.terminated | outs.truncated))
+    pal_s2, pal_c2, stats = lstm_act_rollout_pallas(
+        env.init_batch(2, N), params, carry, p, env.statics, T2,
+        lanes_per_block=N, interpret=True)
+    n_pal = int(stats["episodes"])
+    assert n_ref > 500
+    assert abs(n_pal - n_ref) / n_ref < 0.02
+    assert np.isfinite(np.asarray(pal_c2[0])).all()
+    assert np.abs(np.asarray(pal_c2[0])).max() <= 1.0  # h = o*tanh(c) bound
