@@ -31,24 +31,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from drone_tpu import prng
 from drone_tpu.ops import pallas_rollout as PR
-from drone_tpu.types import OBS_DIM, EnvParams, EnvState, EnvStatics
+from drone_tpu.types import EnvParams, EnvState, EnvStatics
 
 NOISE_BLOCK0 = 0x60000000  # exploration-noise stream (disjoint from
                            # ACTION_BLOCK0 and the reset/waypoint blocks)
 _TWO_PI = 6.2831853071795864
 
 
-def actor_weights(params):
-    """Extract the actor tower from ActorCritic params as MXU-ready
-    (pre-transposed) matrices: [(W^T (out,in), b (out,)), ...]."""
-    p = params["params"] if "params" in params else params
+def dense_tower(p, prefix: str):
+    """Collect p[f'{prefix}{i}'] dense layers as MXU-ready (pre-transposed)
+    (W^T (out,in), b (out,)) pairs. Shared by the MLP and LSTM extractors."""
     ws = []
     i = 0
-    while f"actor_h{i}" in p:
-        d = p[f"actor_h{i}"]
+    while f"{prefix}{i}" in p:
+        d = p[f"{prefix}{i}"]
         ws.append((jnp.asarray(d["kernel"], jnp.float32).T,
                    jnp.asarray(d["bias"], jnp.float32)))
         i += 1
+    return ws
+
+
+def actor_weights(params):
+    """Extract the actor tower from ActorCritic params."""
+    p = params["params"] if "params" in params else params
+    ws = dense_tower(p, "actor_h")
     d = p["actor_mean"]
     ws.append((jnp.asarray(d["kernel"], jnp.float32).T,
                jnp.asarray(d["bias"], jnp.float32)))
@@ -91,11 +97,7 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, std_ref, *w_refs,
 
     def body(t, carry):
         c, acc = carry
-        (px, py, pz, vx, vy, vz, qw, qx, qy, qz, wx, wy, wz,
-         tx, ty, tz) = c[:16]
-        # tasks.observation in plane space -> (OBS_DIM, L) matrix
-        x = jnp.stack([tx - px, ty - py, tz - pz, qw, qx, qy, qz,
-                       vx, vy, vz, wx, wy, wz]).reshape(OBS_DIM, L)
+        x = PR.obs_matrix(c, L)
         for li, (w, b) in enumerate(weights):
             x = jnp.dot(w, x, preferred_element_type=jnp.float32) + b[:, None]
             if li < n_layers - 1:
@@ -180,7 +182,7 @@ def act_rollout_pallas(state: EnvState, policy_params, env_params: EnvParams,
     Returns (final EnvState, stats dict) — same contract as rollout_pallas.
     """
     n = state.pos.shape[0]
-    assert n % lanes_per_block == 0, (n, lanes_per_block)
+    lanes_per_block = PR.pick_lanes_per_block(n, lanes_per_block)
     weights = actor_weights(policy_params)
     p = policy_params["params"] if "params" in policy_params else policy_params
     std = jnp.exp(jnp.asarray(p["log_std"], jnp.float32)).reshape(1, 4)

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from drone_tpu.ops import pallas_rollout as PR
-from drone_tpu.types import OBS_DIM, EnvParams, EnvState, EnvStatics
+from drone_tpu.types import EnvParams, EnvState, EnvStatics
 
 _GATES = ("i", "f", "g", "o")
 
@@ -35,14 +35,10 @@ _GATES = ("i", "f", "g", "o")
 def lstm_weights(params):
     """LSTMActorCritic params -> (enc [(W^T, b)...], wi[4] (H,in), wh[4]
     (H,H), bh[4] (H,), head (4, H) + b (4,))."""
+    from drone_tpu.ops.pallas_acting import dense_tower
+
     p = params["params"] if "params" in params else params
-    enc = []
-    i = 0
-    while f"enc_h{i}" in p:
-        d = p[f"enc_h{i}"]
-        enc.append((jnp.asarray(d["kernel"], jnp.float32).T,
-                    jnp.asarray(d["bias"], jnp.float32)))
-        i += 1
+    enc = dense_tower(p, "enc_h")
     lp = p["lstm"]
     wi = tuple(jnp.asarray(lp[f"i{g}"]["kernel"], jnp.float32).T
                for g in _GATES)
@@ -81,10 +77,7 @@ def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
 
     def body(t, carry):
         s, h, cc, acc = carry
-        (px, py, pz, vx, vy, vz, qw, qx, qy, qz, wx, wy, wz,
-         tx, ty, tz) = s[:16]
-        x = jnp.stack([tx - px, ty - py, tz - pz, qw, qx, qy, qz,
-                       vx, vy, vz, wx, wy, wz]).reshape(OBS_DIM, L)
+        x = PR.obs_matrix(s, L)
         for w, b in enc:
             x = jnp.tanh(dot(w, x) + b[:, None])
         gi = jax.nn.sigmoid(dot(wi[0], x) + dot(wh[0], h) + bh[0][:, None])
@@ -187,11 +180,11 @@ def lstm_act_rollout_pallas(state: EnvState, policy_params, carry,
     Returns (final EnvState, final carry, stats dict)."""
     n = state.pos.shape[0]
     weights = lstm_weights(policy_params)
-    if lanes_per_block is None:
-        hidden = weights[1][0].shape[0]
-        cap = max(128, (131072 // max(hidden, 1)) // 128 * 128)
-        lanes_per_block = min(8192, cap, n)
-    assert n % lanes_per_block == 0, (n, lanes_per_block)
+    hidden = weights[1][0].shape[0]
+    cap = max(128, (131072 // max(hidden, 1)) // 128 * 128)
+    if lanes_per_block is not None:
+        cap = min(cap, lanes_per_block)
+    lanes_per_block = PR.pick_lanes_per_block(n, min(8192, cap))
     final, out_carry, stats = _run(
         state, tuple(carry), weights, env_params, T=T,
         lanes_per_block=lanes_per_block, task=statics.task,

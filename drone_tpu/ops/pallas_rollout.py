@@ -35,7 +35,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from drone_tpu import prng
-from drone_tpu.types import MAX_GATES, WP_BLOCK0, EnvParams, EnvState, EnvStatics
+from drone_tpu.types import (
+    MAX_GATES,
+    OBS_DIM,
+    WP_BLOCK0,
+    EnvParams,
+    EnvState,
+    EnvStatics,
+)
 
 # float32 state planes (matches the oracle fstate layout, types.py:33)
 F_PX, F_PY, F_PZ = 0, 1, 2
@@ -127,6 +134,26 @@ def unpack_state(fs, us, st) -> EnvState:
 def _uniform(bits):
     m = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
     return pltpu.bitcast(m, jnp.float32) - jnp.float32(1.0)
+
+
+def pick_lanes_per_block(n: int, cap: int = 8192) -> int:
+    """Largest multiple of 128 that divides n and is <= cap. n must be a
+    multiple of 128 (the minimum lane tile). n%128==0 does NOT imply
+    n%8192==0 — callers that hardcoded min(8192, n) crashed on e.g.
+    n=8320."""
+    assert n % 128 == 0, n
+    for k in range(min(cap, n) // 128, 0, -1):
+        if n % (k * 128) == 0:
+            return k * 128
+    return 128
+
+
+def obs_matrix(c, L):
+    """tasks.observation in plane space: carry tuple -> (OBS_DIM, L) matrix
+    (shared by the acting kernels so the obs layout lives in ONE place)."""
+    (px, py, pz, vx, vy, vz, qw, qx, qy, qz, wx, wy, wz, tx, ty, tz) = c[:16]
+    return jnp.stack([tx - px, ty - py, tz - pz, qw, qx, qy, qz,
+                      vx, vy, vz, wx, wy, wz]).reshape(OBS_DIM, L)
 
 
 class _P:
@@ -528,7 +555,7 @@ def rollout_pallas(state: EnvState, params: EnvParams, statics: EnvStatics,
     Returns (final EnvState, stats dict with reward_sum / episodes /
     ep_return_sum / ep_length_sum)."""
     n = state.pos.shape[0]
-    assert n % lanes_per_block == 0, (n, lanes_per_block)
+    lanes_per_block = pick_lanes_per_block(n, lanes_per_block)
 
     # A provided action stream lives in VMEM for the whole kernel (the
     # BlockSpec pins (T, 4, lanes_per_block) floats per block), so long

@@ -144,19 +144,13 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
     state = env.init_batch(cfg.run.seed + 1, n)
     horizon = int(env.params.horizon) + 1
 
-    if cfg.run.policy == "mlp" and deterministic and n % 128 == 0:
-        # fused policy+env megakernel (ops/pallas_acting): ~3x the scan
-        # acting path; episode stats accumulate on-chip incl. sum-of-squares
-        from drone_tpu.ops import act_rollout_pallas
+    # the acting megakernels compile on TPU ("tpu"/"axon" platforms) and run
+    # through the Pallas interpreter on CPU; other backends (e.g. GPU, where
+    # the pure-JAX paths work fine) take the scan fallback below
+    backend = jax.default_backend()
+    kernel_ok = backend in ("tpu", "axon") or backend == "cpu"
 
-        _, stats = act_rollout_pallas(
-            state, params, env.params, env.statics, horizon,
-            lanes_per_block=min(8192, n),
-            # Mosaic kernels can't compile on the CPU backend (tests/dev);
-            # the interpreter executes the same program there. The real chip
-            # reports platform "axon"/"tpu" and takes the compiled path.
-            interpret=jax.default_backend() == "cpu",
-        )
+    def _episode_stats(stats):
         n_ep = float(stats["episodes"])
         mean = float(stats["ep_return_sum"]) / max(n_ep, 1.0)
         var = float(stats["ep_return_sq_sum"]) / max(n_ep, 1.0) - mean * mean
@@ -167,10 +161,32 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
             "ep_length_mean": float(stats["ep_length_sum"]) / max(n_ep, 1.0),
         }
 
+    if (cfg.run.policy == "mlp" and deterministic and n % 128 == 0
+            and kernel_ok):
+        # fused policy+env megakernel (ops/pallas_acting): ~3x the scan
+        # acting path; episode stats accumulate on-chip incl. sum-of-squares
+        from drone_tpu.ops import act_rollout_pallas
+
+        _, stats = act_rollout_pallas(
+            state, params, env.params, env.statics, horizon,
+            interpret=backend == "cpu",
+        )
+        return _episode_stats(stats)
+
     if cfg.run.policy == "lstm":
         from drone_tpu import ppo_rnn
 
         carry = model.initial_carry((n,))
+        if deterministic and n % 128 == 0 and kernel_ok:
+            # recurrent acting megakernel (6.6x the scan path; see
+            # ops/pallas_acting_lstm.py)
+            from drone_tpu.ops import lstm_act_rollout_pallas
+
+            _, _, stats = lstm_act_rollout_pallas(
+                state, params, carry, env.params, env.statics, horizon,
+                interpret=backend == "cpu",
+            )
+            return _episode_stats(stats)
         _, _, out = jax.jit(
             lambda s, c: ppo_rnn.rollout_recurrent(
                 model, params, env, s, c, horizon,

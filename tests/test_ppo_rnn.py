@@ -145,8 +145,11 @@ def test_train_py_lstm_wiring(tmp_path):
     runner, last = train(cfg)
     assert np.isfinite(last["loss"])
     cfg.env.params["horizon"] = 50
-    stats = evaluate(cfg, runner=runner, episodes=4)
+    stats = evaluate(cfg, runner=runner, episodes=4)  # scan path (4 % 128)
     assert stats["episodes"] >= 4
+    fast = evaluate(cfg, runner=runner, episodes=128)  # recurrent kernel path
+    assert fast["episodes"] >= 128
+    assert np.isfinite(fast["ep_return_mean"]) and fast["ep_return_std"] >= 0
 
 
 def test_bad_policy_rejected():
