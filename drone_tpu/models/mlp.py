@@ -26,27 +26,34 @@ class ActorCritic(nn.Module):
     act_dim: int = 4
     hidden: Sequence[int] = (64, 64)
     log_std_init: float = 0.0
+    # compute dtype for the towers (params stay float32; outputs are cast
+    # back). bfloat16 is ~25% faster per SGD pass on v5e (the update is
+    # activation-bandwidth-bound, DESIGN.md §3) at slightly coarser policy
+    # outputs — select with run.compute_dtype.
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
-        x = obs
+        x = jnp.asarray(obs, self.dtype)
         for i, h in enumerate(self.hidden):
-            x = nn.tanh(nn.Dense(h, name=f"actor_h{i}")(x))
+            x = nn.tanh(nn.Dense(h, dtype=self.dtype, name=f"actor_h{i}")(x))
         mean = nn.Dense(
             self.act_dim,
+            dtype=self.dtype,
             kernel_init=nn.initializers.orthogonal(0.01),
             name="actor_mean",
-        )(x)
+        )(x).astype(jnp.float32)
         log_std = self.param(
             "log_std",
             nn.initializers.constant(self.log_std_init),
             (self.act_dim,),
         )
 
-        v = obs
+        v = jnp.asarray(obs, self.dtype)
         for i, h in enumerate(self.hidden):
-            v = nn.tanh(nn.Dense(h, name=f"critic_h{i}")(v))
+            v = nn.tanh(nn.Dense(h, dtype=self.dtype, name=f"critic_h{i}")(v))
         value = nn.Dense(
-            1, kernel_init=nn.initializers.orthogonal(1.0), name="critic_value"
-        )(v)
+            1, dtype=self.dtype,
+            kernel_init=nn.initializers.orthogonal(1.0), name="critic_value"
+        )(v).astype(jnp.float32)
         return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]

@@ -47,7 +47,11 @@ def build(cfg: Config):
         init_fn = ppo_rnn.init_recurrent_runner
         step_builder = ppo_rnn.make_recurrent_train_step
     elif cfg.run.policy == "mlp":
-        model = ActorCritic(hidden=tuple(cfg.run.hidden))
+        import jax.numpy as jnp
+
+        dtype = {"float32": jnp.float32,
+                 "bfloat16": jnp.bfloat16}[cfg.run.compute_dtype]
+        model = ActorCritic(hidden=tuple(cfg.run.hidden), dtype=dtype)
         init_fn = ppo_mod.init_runner
         step_builder = ppo_mod.make_train_step
     else:

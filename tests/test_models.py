@@ -40,3 +40,13 @@ def test_lstm_carry_roundtrip():
     mean, log_std, value, carry2 = m.apply(p, obs, carry)
     assert mean.shape == (5, 4) and value.shape == (5,)
     assert carry2[0].shape == (5, 16) and carry2[1].shape == (5, 16)
+
+
+def test_mlp_bf16_compute_dtype():
+    """dtype=bfloat16 keeps f32 params and f32 outputs (compute is bf16)."""
+    m = ActorCritic(hidden=(16, 16), dtype=jnp.bfloat16)
+    obs = jnp.zeros((3, 13))
+    p = m.init(jax.random.PRNGKey(0), obs)
+    assert all(x.dtype == jnp.float32 for x in jax.tree_util.tree_leaves(p))
+    mean, log_std, value = m.apply(p, obs)
+    assert mean.dtype == jnp.float32 and value.dtype == jnp.float32
