@@ -222,3 +222,22 @@ def test_lstm_acting_kernel_matches_scan():
     assert abs(n_pal - n_ref) / n_ref < 0.02
     assert np.isfinite(np.asarray(pal_c2[0])).all()
     assert np.abs(np.asarray(pal_c2[0])).max() <= 1.0  # h = o*tanh(c) bound
+
+
+def test_block_autosize_on_awkward_batch():
+    """Regression: n=8320 (a multiple of 128 but not of 8192) used to crash
+    the kernel entry points via lanes_per_block=min(8192, n)."""
+    from drone_tpu.ops.pallas_rollout import pick_lanes_per_block
+
+    # exact contract: largest 128-multiple divisor of n that is <= cap
+    assert pick_lanes_per_block(8320, 8192) == 1664  # 8320 = 128 * 5 * 13
+    assert pick_lanes_per_block(8192, 8192) == 8192
+    assert pick_lanes_per_block(1280, 1024) == 640
+    assert pick_lanes_per_block(128, 8192) == 128
+
+    env, model, params = _setup(hidden=(16,))
+    state = env.init_batch(1, 8320)
+    final, stats = act_rollout_pallas(state, params, env.params, env.statics,
+                                      3, interpret=True)
+    assert final.pos.shape[0] == 8320
+    assert np.isfinite(float(stats["reward_sum"]))
