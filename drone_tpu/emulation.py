@@ -55,9 +55,12 @@ class DroneGymnasium(_EnvBase):
         self.env = DroneEnv(task=task, integrator=integrator, params=params)
         self.observation_space = spaces.observation_space()
         self.action_space = spaces.action_space()
-        p, statics = self.env.params, self.env.statics
+        # params as traced jit arguments (same closure hazard as vector.py:
+        # closed-over floats become XLA constants and divisions get
+        # strength-reduced, breaking bitwise parity with the traced path)
+        statics = self.env.statics
         self._step_fn = jax.jit(
-            lambda s, a: env_mod.step_terminal(s, a, p, statics)
+            lambda s, a, p: env_mod.step_terminal(s, a, p, statics)
         )
         self._state = None
         self._needs_reset = True
@@ -93,7 +96,8 @@ class DroneGymnasium(_EnvBase):
         if self._needs_reset:
             raise RuntimeError("episode is done — call reset() first")
         action = np.asarray(action, np.float32).reshape(ACT_DIM)
-        state, out, terminal_obs = self._step_fn(self._state, action)
+        state, out, terminal_obs = self._step_fn(self._state, action,
+                                                 self.env.params)
         self._state = state
         self._stepped = True
         terminated = bool(out.terminated)

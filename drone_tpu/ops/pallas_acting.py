@@ -13,8 +13,10 @@ Two action modes:
   - deterministic (default): action = policy mean — what evaluate() uses.
   - stochastic=True: action = mean + exp(log_std) * z with z ~ N(0,1) from
     an in-kernel Box-Muller over the lane's threefry stream (blocks
-    NOISE_BLOCK0 + 2t) — exploration-style data generation at kernel speed.
-    Training itself stays on the scan path (PPO must store obs/logp/value).
+    NOISE_BLOCK0 + 2*step, step = carried episode-step counter) —
+    exploration-style data generation at kernel speed. PPO training from
+    kernel rollouts lives in ops/pallas_acting_traj.py (same noise stream,
+    plus per-step (obs, action, logp, value, ...) planes streamed to HBM).
 
 Reference: SURVEY.md §3.3 (`puffer eval` rollout loop — policy forward +
 c_step per frame, here fused per VMEM-resident lane block).
@@ -61,10 +63,12 @@ def actor_weights(params):
     return ws
 
 
-def _gauss4(k0, k1, e, t, shape):
-    """4 standard normals per lane at noise blocks NOISE_BLOCK0 + 2t (+1):
-    Box-Muller over the lane's counter stream."""
-    jb = jnp.uint32(NOISE_BLOCK0) + jnp.uint32(2) * jnp.asarray(t, jnp.uint32)
+def _gauss4(k0, k1, e, stp, shape):
+    """4 standard normals per lane at noise blocks NOISE_BLOCK0 + 2*step
+    (+1), step being the lane's carried episode-step counter (collision-free
+    across chained kernel calls): Box-Muller over the lane's counter
+    stream."""
+    jb = jnp.uint32(NOISE_BLOCK0) + jnp.uint32(2) * jnp.asarray(stp).astype(jnp.uint32)
     b0, b1 = prng.threefry2x32(k0, k1, e, jb)
     b2, b3 = prng.threefry2x32(k0, k1, e, jb + jnp.uint32(1))
     u1 = PR._uniform(b0)
@@ -108,7 +112,7 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, std_ref, *w_refs,
         a3 = x[3].reshape(shape)
         if stochastic:
             rc, k0, k1 = c[22], c[23], c[24]
-            z0, z1, z2, z3 = _gauss4(k0, k1, rc, t, shape)
+            z0, z1, z2, z3 = _gauss4(k0, k1, rc, c[19], shape)
             a0 = a0 + std_ref[0, 0] * z0
             a1 = a1 + std_ref[0, 1] * z1
             a2 = a2 + std_ref[0, 2] * z2

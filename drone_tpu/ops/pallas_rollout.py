@@ -16,9 +16,11 @@ vmap(env.step) on the CPU backend for all six combinations.
 
 Two action sources:
   - actions=None: on-chip uniform random actions in [-1,1] from the lane's
-    threefry stream at block index ACTION_BLOCK0 + 2t (distinct from the
-    reset stream; regenerated, never stored — this is the pure env-engine
-    throughput measurement, the analogue of the reference's env SPS bench)
+    threefry stream at block index ACTION_BLOCK0 + 2*step, where step is the
+    lane's carried episode-step counter (distinct from the reset stream;
+    collision-free across chained kernel calls; regenerated, never stored —
+    this is the pure env-engine throughput measurement, the analogue of the
+    reference's env SPS bench)
   - actions=(T, N, 4) f32: a provided action stream (parity tests).
 
 Reference: SURVEY.md §2.2 #1-2 (the C hot loop this replaces at speed of
@@ -454,9 +456,14 @@ def _rollout_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, act_ref,
             a2 = act_ref[t, 2]
             a3 = act_ref[t, 3]
         else:
-            # per-lane action stream at blocks ACTION_BLOCK0 + 2t (+1),
-            # keyed like the reset stream so lanes stay independent
-            jb = jnp.uint32(ACTION_BLOCK0) + jnp.uint32(2) * jnp.asarray(t, jnp.uint32)
+            # per-lane action stream at blocks ACTION_BLOCK0 + 2*step (+1):
+            # keyed on the lane's CARRIED episode-step counter, not the loop
+            # index, so chained kernel calls never re-consume a (episode,
+            # block) counter (step resets with the episode, whose rc bump
+            # refreshes the whole stream)
+            stp = c[19]
+            jb = (jnp.uint32(ACTION_BLOCK0)
+                  + jnp.uint32(2) * stp.astype(jnp.uint32))
             b0, b1 = prng.threefry2x32(k0, k1, rc, jb)
             b2, b3 = prng.threefry2x32(k0, k1, rc, jb + jnp.uint32(1))
             a0 = _uniform(b0) * 2.0 - 1.0

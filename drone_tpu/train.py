@@ -165,8 +165,11 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
             "ep_length_mean": float(stats["ep_length_sum"]) / max(n_ep, 1.0),
         }
 
+    # the fast path is gated on f32 compute: a bf16-trained policy is a
+    # (slightly) different function than the f32 acting kernel, so eval must
+    # go through model.apply with the dtype it was trained with
     if (cfg.run.policy == "mlp" and deterministic and n % 128 == 0
-            and kernel_ok):
+            and kernel_ok and cfg.run.compute_dtype == "float32"):
         # fused policy+env megakernel (ops/pallas_acting): ~3x the scan
         # acting path; episode stats accumulate on-chip incl. sum-of-squares
         from drone_tpu.ops import act_rollout_pallas

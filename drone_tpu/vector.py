@@ -65,24 +65,29 @@ class VecDrone:
 
         self._state = None          # device EnvState, batched
         self._pending = None        # in-flight (state, StepOut) from send()
-        p, statics = self.env.params, self.env.statics
+        # EnvParams ride as TRACED jit arguments (project invariant: a
+        # closed-over param becomes an XLA constant and division by it gets
+        # strength-reduced, bitwise-diverging from the traced-params
+        # training/oracle path). statics (task/integrator strings) select
+        # the traced program and stay closed over.
+        statics = self.env.statics
 
         if backend == "jit":
-            def _step(state, actions):
+            def _step(state, actions, p):
                 return jax.vmap(
                     lambda s, a: env_mod.step(s, a, p, statics)
                 )(state, actions)
 
             self._step_fn = jax.jit(_step, donate_argnums=0)
         else:
-            single = jax.jit(lambda s, a: env_mod.step(s, a, p, statics))
+            single = jax.jit(lambda s, a, p: env_mod.step(s, a, p, statics))
 
-            def _step(state, actions):
+            def _step(state, actions, p):
                 outs = []
                 states = []
                 for i in range(self.num_envs):
                     lane = jax.tree_util.tree_map(lambda x: x[i], state)
-                    s2, out = single(lane, actions[i])
+                    s2, out = single(lane, actions[i], p)
                     states.append(s2)
                     outs.append(out)
                 stack = lambda *xs: jnp.stack(xs)
@@ -130,7 +135,7 @@ class VecDrone:
         actions = jnp.asarray(actions, jnp.float32).reshape(
             self.num_envs, ACT_DIM
         )
-        self._pending = self._step_fn(self._state, actions)
+        self._pending = self._step_fn(self._state, actions, self.env.params)
 
     def recv(self):
         if self._pending is None:

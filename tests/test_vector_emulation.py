@@ -159,11 +159,13 @@ def test_gymnasium_matches_internal_step():
 
     core = drone_tpu.DroneEnv(task="hover")
     state = core.init(4, 0)
-    step = jax.jit(lambda s, a: env_mod.step(s, a, core.params, core.statics))
+    # params as traced args on BOTH sides (the adapter traces them too; a
+    # closed-over param would constant-fold and bitwise-diverge)
+    step = jax.jit(lambda s, a, p: env_mod.step(s, a, p, core.statics))
     assert np.array_equal(obs, np.asarray(core.observe(state)))
     for t in range(T):
         gobs, gr, gterm, gtrunc, _ = env.step(acts[t])
-        state, out = step(state, acts[t])
+        state, out = step(state, acts[t], core.params)
         assert np.float32(gr) == np.asarray(out.reward)
         assert gterm == bool(out.terminated) and gtrunc == bool(out.truncated)
         if gterm or gtrunc:
