@@ -243,6 +243,10 @@ def _run(state, env_params, actor_w, critic_w, log_std, *, T, tc,
             *[full(m.shape) for m in w_flat],
         ],
         out_specs=(
+            # kernel-natural layout: contiguous (rb, 128) plane stores per
+            # step (Mosaic rejects the strided stores a row-major layout
+            # would need); the planes entry point transposes once to the
+            # row-major (rows, N_TRAJ, T, 128) the update kernel gathers
             pl.BlockSpec((tc, N_TRAJ, rb, 128), lambda i, t: (t, 0, i, 0),
                          memory_space=pltpu.VMEM),
             plane(PR.NF), plane(PR.NU), plane(PR.NI), plane(PR.N_STATS),
@@ -260,31 +264,54 @@ def _run(state, env_params, actor_w, critic_w, log_std, *, T, tc,
 
 
 def _planes_to_traj(traj, n):
-    """(T, N_TRAJ, rows, 128) planes -> Traj with (T, B, ...) arrays."""
-    T = traj.shape[0]
-    flat = traj.reshape(T, N_TRAJ, n)
+    """(rows, N_TRAJ, T, 128) planes -> Traj with (T, B, ...) arrays."""
+    rows, T = traj.shape[0], traj.shape[2]
+
+    def vec(p0, d):
+        x = traj[:, p0:p0 + d]                        # (rows, d, T, 128)
+        return x.transpose(2, 0, 3, 1).reshape(T, n, d)
+
+    def scal(p0):
+        return traj[:, p0].transpose(1, 0, 2).reshape(T, n)
+
     return Traj(
-        obs=flat[:, TP_OBS0:TP_OBS0 + OBS_DIM].transpose(0, 2, 1),
-        action=flat[:, TP_ACT0:TP_ACT0 + 4].transpose(0, 2, 1),
-        logp=flat[:, TP_LOGP],
-        value=flat[:, TP_VAL],
-        reward=flat[:, TP_REW],
-        done=flat[:, TP_DONE] != 0.0,
+        obs=vec(TP_OBS0, OBS_DIM),
+        action=vec(TP_ACT0, 4),
+        logp=scal(TP_LOGP),
+        value=scal(TP_VAL),
+        reward=scal(TP_REW),
+        done=scal(TP_DONE) != 0.0,
     )
 
 
-def pick_time_chunk(T: int, cap: int = 4) -> int:
-    """Largest divisor of T that is <= cap (the trajectory VMEM block holds
-    time_chunk * N_TRAJ * lanes_per_block floats, double-buffered)."""
-    for k in range(min(cap, T), 0, -1):
-        if T % k == 0:
-            return k
-    return 1
+def pack_traj_planes(traj: Traj, rows: int) -> jnp.ndarray:
+    """Inverse of _planes_to_traj: Traj -> (rows, N_TRAJ, T, 128) planes
+    (pure layout, no arithmetic — used to feed reference rollouts into the
+    plane-consuming update path bit-exactly)."""
+    T = traj.obs.shape[0]
+    parts = [traj.obs.transpose(0, 2, 1),                # (T, OBS_DIM, B)
+             traj.action.transpose(0, 2, 1),             # (T, 4, B)
+             traj.logp[:, None], traj.value[:, None],
+             traj.reward[:, None],
+             traj.done.astype(jnp.float32)[:, None]]
+    flat = jnp.concatenate(parts, axis=1)                # (T, N_TRAJ, B)
+    return flat.reshape(T, N_TRAJ, rows, 128).transpose(2, 1, 0, 3)
+
+
+def pick_time_chunk(T: int, cap: int = 8) -> int:
+    """Largest divisor of T that is <= cap AND legal as a Mosaic trailing
+    block dim (multiple of 8, or the whole of T). The trajectory VMEM block
+    holds time_chunk * N_TRAJ * lanes_per_block floats, double-buffered."""
+    best = None
+    for k in range(1, min(cap, T) + 1):
+        if T % k == 0 and (k % 8 == 0 or k == T):
+            best = k
+    return best if best is not None else T
 
 
 def traj_act_rollout_pallas(state: EnvState, policy_params,
                             env_params: EnvParams, statics: EnvStatics,
-                            T: int, lanes_per_block: int = 8192,
+                            T: int, lanes_per_block: int = 4096,
                             time_chunk: int | None = None,
                             interpret: bool = False, stochastic: bool = True):
     """Run T fused policy+env steps on-chip, emitting the PPO training
@@ -295,6 +322,26 @@ def traj_act_rollout_pallas(state: EnvState, policy_params,
     ep_length_sum / ep_return_sq_sum) so the trainer needs no per-step
     ep_return planes.
     """
+    final, traj, stats = traj_act_rollout_pallas_planes(
+        state, policy_params, env_params, statics, T,
+        lanes_per_block=lanes_per_block, time_chunk=time_chunk,
+        interpret=interpret, stochastic=stochastic)
+    return final, _planes_to_traj(traj, state.pos.shape[0]), stats
+
+
+def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
+                                   env_params: EnvParams,
+                                   statics: EnvStatics, T: int,
+                                   lanes_per_block: int = 4096,
+                                   time_chunk: int | None = None,
+                                   interpret: bool = False,
+                                   stochastic: bool = True):
+    """traj_act_rollout_pallas without the (T, B, ...) conversion: returns
+    (final EnvState, raw planes (rows, N_TRAJ, T, 128), stats dict). The
+    plane layout is what the PPO update megakernel (ops/pallas_update.py)
+    consumes directly — converting to batch-major costs ~40 ms of
+    minor-dim transposes per 64k-lane rollout, so the training path never
+    leaves plane space."""
     n = state.pos.shape[0]
     lanes_per_block = PR.pick_lanes_per_block(n, lanes_per_block)
     tc = time_chunk if time_chunk is not None else pick_time_chunk(T)
@@ -306,7 +353,10 @@ def traj_act_rollout_pallas(state: EnvState, policy_params,
         T=T, tc=tc, lanes_per_block=lanes_per_block, task=statics.task,
         integrator=statics.integrator, n_actor=len(actor_w),
         n_critic=len(critic_w), interpret=interpret, stochastic=stochastic)
-    return final, _planes_to_traj(traj, n), PR._stats_dict(stats)
+    # kernel-natural (T, N_TRAJ, rows, 128) -> row-major gatherable layout;
+    # the 128-lane minor dim is preserved so this is a cheap relayout
+    # (~2x buffer bytes of HBM traffic), not a narrow transpose
+    return final, traj.transpose(2, 1, 0, 3), PR._stats_dict(stats)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,349 @@
+"""PPO minibatch update megakernel: fused forward+backward in VMEM.
+
+The XLA PPO update materializes every tower activation to HBM — at 64k
+lanes x 128 steps that is ~100 GB of activation traffic per update and
+dominates the train step (~280 of ~300 ms on one v5e; DESIGN.md §3). This
+kernel runs one SGD minibatch pass with hand-written backprop entirely in
+VMEM: the grid streams (time-chunk, lane-row) blocks of the trajectory
+planes produced by ops/pallas_acting_traj.py, the actor/critic towers run
+forward AND backward per block on the MXU, and weight-gradient + loss-stat
+accumulators live in revisited output refs. HBM traffic is exactly one read
+of the minibatch's training planes (~84 B/sample) — activations never leave
+the chip.
+
+Minibatch selection is free: a scalar-prefetched row permutation drives the
+input BlockSpec index maps (pltpu.PrefetchScalarGridSpec), so "shuffle the
+batch" costs a 512-entry int32 array instead of a 700 MB gather. Shuffling
+is therefore at 128-lane row granularity (lanes are iid, rows decorrelate
+minibatches exactly as well at fleet scale).
+
+All gradient math lives in `_block_grads`, shared verbatim by the kernel
+and by the pure-jnp mirror `ppo_update_reference` (same ops, same shapes,
+same accumulation order) — in interpret mode on the CPU backend the kernel
+matches the mirror bitwise, and a separate test pins the hand-written
+backprop against jax.grad of the same loss to 1e-6.
+
+Gradient conventions (CleanRL/PuffeRL clipped PPO, as drone_tpu.ppo.loss_fn):
+  total = mean(pg) + vf_coef * 0.5 * mean(vl) - ent_coef * ent
+  pg    = max(-adv*ratio, -adv*clip(ratio, 1 +- clip_eps))
+  vl    = max((v-ret)^2, (v_old+clip(v-v_old, +-vf_clip)-ret)^2)
+  ent   = sum_k(log_std_k + (1+log(2pi))/2)      (state-independent)
+max/clip subgradients: the first branch wins ties; clip passes gradient
+inside the closed interval.
+
+Reference: SURVEY.md §2.2 #9 (`[U] pufferlib/pufferl.py` minibatch PPO
+update, the GPU hot loop #2 of §3.1); BASELINE.json:10.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drone_tpu.ops import pallas_acting_traj as PAT
+from drone_tpu.ops.pallas_acting_traj import (
+    N_TRAJ,
+    TP_ACT0,
+    TP_LOGP,
+    TP_OBS0,
+    TP_VAL,
+    _HALF_LOG_2PI,
+)
+from drone_tpu.types import OBS_DIM
+
+# update-stat planes accumulated per sample block (reduced to scalars by
+# the caller): policy loss, value loss terms, approx-KL, clip fraction,
+# then the 4 per-dim log_std gradient contributions
+ST_PG, ST_VL, ST_KL, ST_CF = 0, 1, 2, 3
+ST_DLS0 = 4
+N_UPSTATS = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class UpdateConsts:
+    """Static PPO constants baked into the kernel (recompile on change)."""
+
+    clip_eps: float
+    vf_clip: float
+    vf_coef: float
+    inv_m: float     # 1 / (samples per minibatch)
+
+
+def _tower_fwd(x, weights):
+    """(in, S) -> (out, S) with the per-layer inputs retained for backprop.
+    acts[i] is the input to layer i (acts[0] = x)."""
+    acts = [x]
+    n = len(weights)
+    for li, (w, b) in enumerate(weights):
+        x = jnp.dot(w, x, preferred_element_type=jnp.float32) + b[:, None]
+        if li < n - 1:
+            x = jnp.tanh(x)
+        acts.append(x)
+    return x, acts
+
+
+def _tower_bwd(weights, acts, dy):
+    """Backprop dy (out, S) through the tower; returns [(dW, db), ...] with
+    dW in the kernel's (out, in) orientation and db shaped (out, 1)."""
+    grads = [None] * len(weights)
+    for li in range(len(weights) - 1, -1, -1):
+        w, _ = weights[li]
+        dW = jnp.dot(dy, acts[li].T, preferred_element_type=jnp.float32)
+        db = jnp.sum(dy, axis=1, keepdims=True)
+        grads[li] = (dW, db)
+        if li > 0:
+            dx = jnp.dot(w.T, dy, preferred_element_type=jnp.float32)
+            y = acts[li]  # tanh output of layer li-1
+            dy = dx * (1.0 - y * y)
+    return grads
+
+
+def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co):
+    """Forward + hand-written backward for one sample block.
+
+    X: (OBS_DIM, S) obs matrix; a: 4 action planes; logp_old/v_old/adv/ret:
+    per-sample planes; actor_w/critic_w: [(W (out,in), b (out,))]; ls: 4
+    log_std scalars; co: UpdateConsts. Every op here runs identically inside
+    the Mosaic kernel and in the jnp mirror — this function IS the bitwise
+    contract.
+
+    Returns (actor grads, critic grads, stat planes tuple of N_UPSTATS).
+    """
+    S = X.shape[1]
+    shape = a[0].shape
+    inv_m = jnp.float32(co.inv_m)
+    C = jnp.float32(_HALF_LOG_2PI)
+
+    mx, acts_a = _tower_fwd(X, actor_w)
+    vx, acts_c = _tower_fwd(X, critic_w)
+    m = [mx[k].reshape(shape) for k in range(4)]
+    v = vx[0].reshape(shape)
+
+    # -- policy head: logp, ratio, clipped surrogate ------------------------
+    z, lp = [], None
+    for k in range(4):
+        std_k = jnp.exp(ls[k])
+        zk = (a[k] - m[k]) / std_k
+        z.append(zk)
+        term = jnp.float32(-0.5) * (zk * zk) - ls[k] - C
+        lp = term if lp is None else lp + term
+    ratio = jnp.exp(lp - logp_old)
+    pg1 = -adv * ratio
+    rclip = jnp.minimum(jnp.maximum(ratio, 1.0 - co.clip_eps),
+                        1.0 + co.clip_eps)
+    pg2 = -adv * rclip
+    pg = jnp.maximum(pg1, pg2)
+    use1 = pg1 >= pg2
+    inclip = (ratio >= 1.0 - co.clip_eps) & (ratio <= 1.0 + co.clip_eps)
+    dpg_dratio = jnp.where(use1 | inclip, -adv, 0.0)
+    g_logp = inv_m * dpg_dratio * ratio
+
+    # -- value head: clipped value loss -------------------------------------
+    dv_raw = v - ret
+    vdiff = jnp.minimum(jnp.maximum(v - v_old, -co.vf_clip), co.vf_clip)
+    dv_c = (v_old + vdiff) - ret
+    vl = jnp.maximum(dv_raw * dv_raw, dv_c * dv_c)
+    use_raw = (dv_raw * dv_raw) >= (dv_c * dv_c)
+    in_vclip = (v - v_old >= -co.vf_clip) & (v - v_old <= co.vf_clip)
+    dvl_dv = jnp.where(use_raw, 2.0 * dv_raw,
+                       jnp.where(in_vclip, 2.0 * dv_c, 0.0))
+    g_v = jnp.float32(0.5 * co.vf_coef) * inv_m * dvl_dv
+
+    # -- backprop through the towers ----------------------------------------
+    dm = [g_logp * (z[k] / jnp.exp(ls[k])) for k in range(4)]
+    dmx = jnp.stack(dm).reshape(4, S)
+    dvx = g_v.reshape(1, S)
+    ga = _tower_bwd(actor_w, acts_a, dmx)
+    gc = _tower_bwd(critic_w, acts_c, dvx)
+
+    stats = (pg, vl, logp_old - lp,
+             (jnp.abs(ratio - 1.0) > co.clip_eps).astype(jnp.float32),
+             g_logp * (z[0] * z[0] - 1.0), g_logp * (z[1] * z[1] - 1.0),
+             g_logp * (z[2] * z[2] - 1.0), g_logp * (z[3] * z[3] - 1.0))
+    return ga, gc, stats
+
+
+def _read_block(planes, ar):
+    """Unpack one (N_TRAJ, Tc, 128) trajectory block + (2, Tc, 128) adv/ret
+    block into _block_grads inputs (shared by kernel and mirror; leading-
+    index plane slices are the layout Mosaic relayouts for free)."""
+    Tc = planes.shape[1]
+    S = Tc * 128
+    X = jnp.stack([planes[TP_OBS0 + k] for k in range(OBS_DIM)]).reshape(
+        OBS_DIM, S)
+    a = [planes[TP_ACT0 + k] for k in range(4)]
+    return (X, a, planes[TP_LOGP], planes[TP_VAL], ar[0], ar[1])
+
+
+def _update_kernel(perm_ref, pl_ref, ar_ref, ls_ref, *refs,
+                   n_actor, n_critic, co):
+    nw = 2 * (n_actor + n_critic)
+    w_refs = refs[:nw]
+    g_refs = refs[nw:2 * nw]
+    stats_ref = refs[2 * nw]
+    actor = [(w_refs[2 * i][:], w_refs[2 * i + 1][:]) for i in range(n_actor)]
+    critic = [(w_refs[2 * (n_actor + i)][:], w_refs[2 * (n_actor + i) + 1][:])
+              for i in range(n_critic)]
+    ls = [ls_ref[0, k] for k in range(4)]
+
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when((g == 0) & (t == 0))
+    def _init():
+        for r in g_refs:
+            r[:] = jnp.zeros_like(r)
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    planes = pl_ref[0]          # (N_TRAJ, Tc, 128)
+    ar = ar_ref[:, 0]           # (2, Tc, 128)
+    X, a, logp_old, v_old, adv, ret = _read_block(planes, ar)
+    ga, gc, stats = _block_grads(X, a, logp_old, v_old, adv, ret,
+                                 actor, critic, ls, co)
+    flat = [m for wb in (*ga, *gc) for m in wb]
+    for r, val in zip(g_refs, flat):
+        r[:] += val
+    for k in range(N_UPSTATS):
+        stats_ref[k] += stats[k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mb_rows", "tc", "n_actor", "n_critic", "co",
+                     "interpret"),
+)
+def _update_call(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
+                 mb_rows, tc, n_actor, n_critic, co, interpret=False):
+    rows, T = planes.shape[0], planes.shape[2]
+    nt = T // tc
+    w_flat = [m for wb in (*actor_w, *critic_w) for m in wb]
+    # gradient buffers: dW matches W (out, in); db is (out, 1) (2-D so the
+    # VMEM accumulator tiles cleanly; the caller strips the column)
+    g_shapes = [s for (w, b) in (*actor_w, *critic_w)
+                for s in (w.shape, (w.shape[0], 1))]
+
+    def full(shp):
+        return pl.BlockSpec(shp, lambda g, t, p: tuple(0 for _ in shp),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mb_rows, nt),
+        in_specs=[
+            # row-major plane layout: one whole row's plane set per
+            # (row, time-chunk) block; the scalar-prefetched permutation
+            # p drives the row index — minibatch gather for free
+            pl.BlockSpec((1, N_TRAJ, tc, 128),
+                         lambda g, t, p: (p[g], 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, tc, 128),
+                         lambda g, t, p: (0, p[g], t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda g, t, p: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *[full(m.shape) for m in w_flat],
+        ],
+        out_specs=(
+            *[full(s) for s in g_shapes],
+            pl.BlockSpec((N_UPSTATS, tc, 128), lambda g, t, p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    kernel = functools.partial(_update_kernel, n_actor=n_actor,
+                               n_critic=n_critic, co=co)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            *[jax.ShapeDtypeStruct(s, jnp.float32) for s in g_shapes],
+            jax.ShapeDtypeStruct((N_UPSTATS, tc, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(perm_mb, planes, advret, log_std, *w_flat)
+    grads_flat, stats = outs[:-1], outs[-1]
+    return _fold_grads(grads_flat, n_actor, n_critic), jnp.sum(stats,
+                                                               axis=(1, 2))
+
+
+def _fold_grads(flat, n_actor, n_critic):
+    pairs = [(flat[2 * i], flat[2 * i + 1])
+             for i in range(n_actor + n_critic)]
+    return pairs[:n_actor], pairs[n_actor:]
+
+
+def _grad_shapes(weights):
+    return [(jnp.zeros_like(w), jnp.zeros((w.shape[0], 1), jnp.float32))
+            for w, _ in weights]
+
+
+def pick_update_chunk(T: int, cap: int = 16) -> int:
+    """Largest divisor of T that is <= cap AND Mosaic-legal as a trailing
+    block dim (multiple of 8, or the whole of T)."""
+    best = None
+    for k in range(1, min(cap, T) + 1):
+        if T % k == 0 and (k % 8 == 0 or k == T):
+            best = k
+    return best if best is not None else T
+
+
+def ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
+                         log_std, *, tc, co: UpdateConsts):
+    """Pure-jnp mirror of the update kernel: same block math
+    (`_block_grads`), same (row, time-chunk) accumulation order. Bitwise
+    contract for the interpret-mode tests; the CPU-backend update path."""
+    T = planes.shape[2]
+    nt = T // tc
+    mb_rows = perm_mb.shape[0]
+    ls = [log_std[0, k] for k in range(4)]
+    acc0 = ([tuple(g) for g in _grad_shapes(actor_w)],
+            [tuple(g) for g in _grad_shapes(critic_w)],
+            jnp.zeros((N_UPSTATS, tc, 128), jnp.float32))
+
+    def body(acc, idx):
+        ga_acc, gc_acc, st_acc = acc
+        g = idx // nt
+        t = idx % nt
+        row = perm_mb[g]
+        blk = jax.lax.dynamic_slice(
+            planes, (row, 0, t * tc, 0), (1, N_TRAJ, tc, 128))[0]
+        ar = jax.lax.dynamic_slice(
+            advret, (0, row, t * tc, 0), (2, 1, tc, 128))[:, 0]
+        X, a, logp_old, v_old, adv, ret = _read_block(blk, ar)
+        ga, gc, stats = _block_grads(X, a, logp_old, v_old, adv, ret,
+                                     actor_w, critic_w, ls, co)
+        ga_acc = [(aw + w, ab + b) for (aw, ab), (w, b) in zip(ga_acc, ga)]
+        gc_acc = [(aw + w, ab + b) for (aw, ab), (w, b) in zip(gc_acc, gc)]
+        st_acc = st_acc + jnp.stack(stats)
+        return (ga_acc, gc_acc, st_acc), None
+
+    (ga, gc, st), _ = jax.lax.scan(body, acc0, jnp.arange(mb_rows * nt))
+    return (ga, gc), jnp.sum(st, axis=(1, 2))
+
+
+def ppo_update(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
+               tc, co: UpdateConsts, mode: str = "kernel",
+               interpret: bool = False):
+    """One PPO minibatch gradient pass over the trajectory planes.
+
+    planes: (rows, N_TRAJ, T, 128) from the trajectory rollout;
+    advret: (2, rows, T, 128) stacked (normalized advantage, return);
+    perm_mb: (mb_rows,) int32 row indices of this minibatch.
+    Returns ((actor grads, critic grads), stat sums (N_UPSTATS,)).
+    Gradients are SUMS scaled by inv_m (i.e. the mean-loss gradient);
+    log_std's gradient lives in the stat sums (ST_DLS*) plus the caller's
+    -ent_coef entropy term.
+    """
+    actor_w = tuple(actor_w)
+    critic_w = tuple(critic_w)
+    if mode == "kernel":
+        return _update_call(planes, advret, perm_mb, actor_w, critic_w,
+                            log_std, mb_rows=perm_mb.shape[0], tc=tc,
+                            n_actor=len(actor_w), n_critic=len(critic_w),
+                            co=co, interpret=interpret)
+    return ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
+                                log_std, tc=tc, co=co)

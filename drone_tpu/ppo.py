@@ -133,24 +133,32 @@ def make_train_step(
     parallelism in the reference sense (SURVEY.md §2.4 DP row), minus the
     process/NCCL machinery.
 
-    rollout selects the experience generator (identical downstream math):
-      - "scan":       vmap(env.step) under lax.scan, noise from the host
-                      PRNG key (the CleanRL-shaped baseline path).
-      - "pallas":     the trajectory-emitting acting megakernel
-                      (ops/pallas_acting_traj.py) — policy+env fused in
-                      VMEM, counter-RNG exploration noise, ~an order of
-                      magnitude faster data generation on TPU. Requires the
-                      MLP ActorCritic layout and num_envs % 128 == 0.
-      - "pallas_ref": the kernel's pure-jnp mirror (same noise stream, same
-                      matmul formulation) — bitwise train-step parity with
-                      "pallas" in interpret mode on CPU; useful on backends
-                      without Mosaic.
-    rollout_interpret runs the kernel through the Pallas interpreter
+    rollout selects the trainer implementation:
+      - "scan":       vmap(env.step) under lax.scan + XLA update, noise from
+                      the host PRNG key (the CleanRL-shaped baseline path).
+      - "pallas":     delegates to ppo_pallas.make_pallas_train_step — the
+                      trajectory-emitting rollout megakernel feeding the
+                      fused fwd+bwd update megakernel, plane-major end to
+                      end. Requires the MLP ActorCritic layout and
+                      num_envs % 128 == 0.
+      - "pallas_ref": the kernels' pure-jnp mirrors (same noise streams,
+                      same matmul formulation, same accumulation order) —
+                      bitwise train-step parity with "pallas" in interpret
+                      mode on CPU; the fallback on backends without Mosaic.
+    rollout_interpret runs the kernels through the Pallas interpreter
     (CPU-backend testing).
     """
     if rollout not in ("scan", "pallas", "pallas_ref"):
         raise ValueError(f"rollout must be 'scan', 'pallas' or 'pallas_ref',"
                          f" got {rollout!r}")
+    if rollout in ("pallas", "pallas_ref"):
+        from drone_tpu import ppo_pallas
+
+        return ppo_pallas.make_pallas_train_step(
+            optimizer, env_params, statics, cfg, axis_name=axis_name,
+            envs_per_device=envs_per_device,
+            mode="kernel" if rollout == "pallas" else "reference",
+            interpret=rollout_interpret)
     local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
     batch_size = cfg.horizon * local_envs
     if cfg.shuffle not in ("lanes", "flat"):
@@ -230,29 +238,13 @@ def make_train_step(
         key, krollout, kperm = jax.random.split(runner.key, 3)
 
         # --- rollout (hot loop #1 of SURVEY.md §3.1, now on-device) --------
-        if rollout == "scan":
-            step_keys = jax.random.split(krollout, cfg.horizon)
-            (env_state, last_obs, _), traj = jax.lax.scan(
-                rollout_body,
-                (runner.env_state, runner.last_obs, runner.params), step_keys
-            )
-            ep_ret_sum = jnp.sum(traj.ep_return)
-            ep_len_sum = jnp.sum(traj.ep_length)
-        else:
-            from drone_tpu import env as _env
-            from drone_tpu.ops import pallas_acting_traj as PAT
-
-            if rollout == "pallas":
-                env_state, traj, stats = PAT.traj_act_rollout_pallas(
-                    runner.env_state, runner.params, env_params, statics,
-                    cfg.horizon, interpret=rollout_interpret)
-            else:
-                env_state, traj, stats = PAT.traj_act_rollout_reference(
-                    runner.env_state, runner.params, env_params, statics,
-                    cfg.horizon)
-            last_obs = jax.vmap(_env.observe)(env_state)
-            ep_ret_sum = stats["ep_return_sum"]
-            ep_len_sum = stats["ep_length_sum"]
+        step_keys = jax.random.split(krollout, cfg.horizon)
+        (env_state, last_obs, _), traj = jax.lax.scan(
+            rollout_body,
+            (runner.env_state, runner.last_obs, runner.params), step_keys
+        )
+        ep_ret_sum = jnp.sum(traj.ep_return)
+        ep_len_sum = jnp.sum(traj.ep_length)
 
         _, _, last_value = apply_fn(runner.params, last_obs)
         adv, ret = compute_gae(

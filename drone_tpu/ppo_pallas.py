@@ -1,0 +1,224 @@
+"""Megakernel PPO: rollout AND update phases on Pallas, plane-major end to end.
+
+The scan-path trainer (drone_tpu.ppo) is the CleanRL-shaped baseline; this
+module is the TPU speed-of-light configuration:
+
+  rollout  — ops/pallas_acting_traj.py streams (obs, action, logp, value,
+             reward, done) planes to HBM at kernel speed (policy+env fused
+             in VMEM, counter-RNG exploration noise).
+  GAE      — XLA reverse scan directly on the (T, rows, 128) value/reward/
+             done planes (bandwidth-trivial; layout is already time-major).
+  update   — ops/pallas_update.py runs each SGD minibatch fwd+bwd in VMEM
+             with hand-written backprop; minibatch shuffling is a
+             scalar-prefetched row permutation (no gather of the batch).
+  optimizer— optax (adam + global-norm clip) on the tiny param pytree.
+
+Training data never changes layout: the trajectory planes the rollout
+kernel writes are the exact buffers the update kernel streams back in.
+
+mode="reference" swaps BOTH kernels for their pure-jnp mirrors (same noise
+streams, same matmul formulation, same accumulation order): the full train
+step matches the kernel path bitwise in interpret mode on CPU — that
+equivalence is the test gate (tests/test_pallas_traj.py,
+tests/test_pallas_update.py).
+
+Semantic deltas vs the scan trainer (documented, both intentional):
+  - exploration noise comes from the env's counter streams, not the host
+    PRNG key (reproducible per (lane, episode, step), key only drives
+    minibatch permutations);
+  - minibatch shuffling decorrelates at 128-lane row granularity instead of
+    single lanes (lanes are iid; at fleet scale rows mix episodes equally
+    well, and single-lane gathers are the only thing the TPU layout would
+    pay for).
+
+Reference: SURVEY.md §3.1 (both hot loops of `[U] pufferlib/pufferl.py`,
+here two Pallas kernels sharing one HBM buffer); BASELINE.json:10.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from drone_tpu import env as env_mod
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.ops import pallas_acting_traj as PAT
+from drone_tpu.ops import pallas_update as PU
+from drone_tpu.ops.pallas_acting import actor_weights
+from drone_tpu.ops.pallas_acting_traj import (
+    TP_DONE,
+    TP_REW,
+    TP_VAL,
+    _log_std,
+    _tower,
+    critic_weights,
+)
+from drone_tpu.types import EnvParams, EnvStatics
+
+
+def _grads_pytree(params, ga, gc, dls):
+    """Kernel-layout gradients -> a pytree matching the ActorCritic params
+    (W^T back to flax (in, out); (out, 1) biases to (out,))."""
+    out = {}
+    for i in range(len(ga) - 1):
+        out[f"actor_h{i}"] = {"kernel": ga[i][0].T, "bias": ga[i][1][:, 0]}
+    out["actor_mean"] = {"kernel": ga[-1][0].T, "bias": ga[-1][1][:, 0]}
+    for i in range(len(gc) - 1):
+        out[f"critic_h{i}"] = {"kernel": gc[i][0].T, "bias": gc[i][1][:, 0]}
+    out["critic_value"] = {"kernel": gc[-1][0].T, "bias": gc[-1][1][:, 0]}
+    out["log_std"] = dls
+    return {"params": out} if "params" in params else out
+
+
+def make_pallas_train_step(
+    optimizer: optax.GradientTransformation,
+    env_params: EnvParams,
+    statics: EnvStatics,
+    cfg: ppo_mod.PPOConfig,
+    axis_name: str | None = None,
+    envs_per_device: int | None = None,
+    mode: str = "kernel",
+    interpret: bool = False,
+    update_tc: int = 16,
+):
+    """Build the megakernel train step: RunnerState -> (RunnerState, metrics).
+
+    mode: "kernel" (Mosaic kernels; interpret=True routes them through the
+    Pallas interpreter for CPU testing) or "reference" (pure-jnp mirrors,
+    bitwise-equal math). Metrics keys match drone_tpu.ppo.make_train_step.
+    """
+    if mode not in ("kernel", "reference"):
+        raise ValueError(f"mode must be 'kernel' or 'reference', got {mode!r}")
+    local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
+    assert local_envs % 128 == 0, (
+        f"the megakernel trainer needs num_envs % 128 == 0, got {local_envs}")
+    rows = local_envs // 128
+    assert rows % cfg.num_minibatches == 0, (
+        f"lane rows ({rows} = {local_envs}/128) must divide into "
+        f"{cfg.num_minibatches} minibatches")
+    mb_rows = rows // cfg.num_minibatches
+    m_samples = mb_rows * 128 * cfg.horizon
+    co = PU.UpdateConsts(clip_eps=cfg.clip_eps, vf_clip=cfg.vf_clip,
+                         vf_coef=cfg.vf_coef, inv_m=1.0 / m_samples)
+    tc = PU.pick_update_chunk(cfg.horizon, cap=update_tc)
+
+    def rollout(runner):
+        if mode == "kernel":
+            return PAT.traj_act_rollout_pallas_planes(
+                runner.env_state, runner.params, env_params, statics,
+                cfg.horizon, interpret=interpret)
+        final, traj, stats = PAT.traj_act_rollout_reference(
+            runner.env_state, runner.params, env_params, statics, cfg.horizon)
+        return final, PAT.pack_traj_planes(traj, rows), stats
+
+    def train_step(runner: ppo_mod.RunnerState):
+        key, kperm = jax.random.split(runner.key)
+
+        # --- rollout: trajectory planes straight to HBM --------------------
+        final_state, planes, stats = rollout(runner)
+        last_obs = jax.vmap(env_mod.observe)(final_state)
+
+        # --- GAE on the planes (shared jnp: identical in both modes) -------
+        # planes are (rows, N_TRAJ, T, 128); the reverse scan wants T
+        # leading — these transposes keep the 128-lane minor dim (pure
+        # relayout, no narrow transpose)
+        critic_w = critic_weights(runner.params)
+        last_value = _tower(last_obs.T, critic_w)[0].reshape(rows, 128)
+        t_major = lambda p: planes[:, p].transpose(1, 0, 2)
+        adv, ret = ppo_mod.compute_gae(
+            t_major(TP_REW), t_major(TP_VAL), t_major(TP_DONE),
+            last_value, cfg.gamma, cfg.gae_lambda)
+        if axis_name is not None:
+            g_mean = jax.lax.pmean(jnp.mean(adv), axis_name)
+            g_var = jax.lax.pmean(jnp.mean((adv - g_mean) ** 2), axis_name)
+        else:
+            g_mean = jnp.mean(adv)
+            g_var = jnp.var(adv)
+        adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
+        advret = jnp.stack([adv, ret]).transpose(0, 2, 1, 3)
+
+        # --- epochs x minibatches through the update megakernel ------------
+        def sgd_step(params, opt_state, perm_mb):
+            aw = actor_weights(params)
+            cw = critic_weights(params)
+            ls = _log_std(params)
+            # state-independent Gaussian entropy at the pre-update params
+            # (what loss_fn's mean over the minibatch evaluates to)
+            ent = jnp.sum(ls[0] + 0.5 * (1.0 + 2.0 * PAT._HALF_LOG_2PI))
+            (ga, gc), st = PU.ppo_update(
+                planes, advret, perm_mb, aw, cw, ls, tc=tc, co=co,
+                mode=mode, interpret=interpret)
+            dls = st[PU.ST_DLS0:PU.ST_DLS0 + 4] - cfg.ent_coef
+            grads = _grads_pytree(params, ga, gc, dls)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            pg_loss = st[PU.ST_PG] * co.inv_m
+            v_loss = 0.5 * st[PU.ST_VL] * co.inv_m
+            loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            aux = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
+                       approx_kl=st[PU.ST_KL] * co.inv_m,
+                       clipfrac=st[PU.ST_CF] * co.inv_m)
+            return params, opt_state, (loss, aux)
+
+        def epoch_body(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, rows)
+
+            def mb_body(carry, mb_idx):
+                params, opt_state = carry
+                perm_mb = jax.lax.dynamic_slice(
+                    perm, (mb_idx * mb_rows,), (mb_rows,))
+                params, opt_state, out = sgd_step(params, opt_state, perm_mb)
+                return (params, opt_state), out
+
+            carry, losses = jax.lax.scan(
+                mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches))
+            return carry, losses
+
+        epoch_keys = jax.random.split(kperm, cfg.epochs)
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
+            epoch_body, (runner.params, runner.opt_state), epoch_keys)
+
+        # --- metrics (keys match ppo.make_train_step) ----------------------
+        n_done = stats["episodes"]
+        ep_ret_sum = stats["ep_return_sum"]
+        ep_len_sum = stats["ep_length_sum"]
+        reward_sum = stats["reward_sum"]
+        if axis_name is not None:
+            n_done = jax.lax.psum(n_done, axis_name)
+            ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
+            ep_len_sum = jax.lax.psum(ep_len_sum, axis_name)
+            reward_sum = jax.lax.psum(reward_sum, axis_name)
+            denom = jnp.float32(cfg.horizon * local_envs) * jax.lax.psum(
+                jnp.float32(1.0), axis_name)
+        else:
+            denom = jnp.float32(cfg.horizon * local_envs)
+        metrics = dict(
+            loss=jnp.mean(losses),
+            reward_mean=reward_sum / denom,
+            episodes=n_done,
+            ep_return_mean=ep_ret_sum / jnp.maximum(n_done, 1.0),
+            ep_length_mean=ep_len_sum / jnp.maximum(n_done, 1.0),
+            **{k: jnp.mean(v) for k, v in auxes.items()},
+        )
+        if axis_name is not None:
+            # loss/aux are per-device means over identical data? no — data
+            # differs per device; average them like the scan trainer does
+            for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl",
+                      "clipfrac"):
+                metrics[k] = jax.lax.pmean(metrics[k], axis_name)
+
+        runner2 = ppo_mod.RunnerState(
+            params=params,
+            opt_state=opt_state,
+            env_state=final_state,
+            last_obs=last_obs,
+            key=key,
+            update_idx=runner.update_idx + 1,
+        )
+        return runner2, metrics
+
+    return train_step

@@ -1,0 +1,157 @@
+"""PPO update megakernel tests (ops/pallas_update.py + ppo_pallas.py).
+
+Three gates:
+  1. the hand-written backprop equals jax.grad of the same plane-space loss
+     (tolerance — autodiff emits differently-ordered but equivalent ops);
+  2. the Mosaic kernel (interpret mode) equals the jnp mirror bitwise —
+     gradients and stat sums;
+  3. the gradient pytree matches the ActorCritic param structure exactly.
+The full train-step bitwise gate lives in tests/test_pallas_traj.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import drone_tpu
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.models import ActorCritic
+from drone_tpu.ops import pallas_update as PU
+from drone_tpu.ops import pallas_acting_traj as PAT
+from drone_tpu.ops.pallas_acting import actor_weights
+from drone_tpu.ops.pallas_acting_traj import N_TRAJ, _log_std, critic_weights
+from drone_tpu import ppo_pallas
+
+
+def _fixture(T=8, rows=4, hidden=(16, 16), seed=0):
+    """Random-but-plausible trajectory planes + params."""
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic(hidden=hidden)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 13), jnp.float32))
+    # a real rollout gives planes with consistent (obs, action, logp, value)
+    state = env.init_batch(seed + 1, rows * 128)
+    _, planes, _ = PAT.traj_act_rollout_pallas_planes(
+        state, params, env.params, env.statics, T, lanes_per_block=rows * 128,
+        interpret=True)
+    k = jax.random.PRNGKey(seed + 2)
+    # planes: (rows, N_TRAJ, T, 128); advret: (2, rows, T, 128)
+    adv = jax.random.normal(k, (rows, T, 128), jnp.float32)
+    ret = planes[:, PAT.TP_VAL] + 0.5 * adv
+    advret = jnp.stack([adv, ret])
+    co = PU.UpdateConsts(clip_eps=0.2, vf_clip=10.0, vf_coef=0.5,
+                         inv_m=1.0 / (rows * 128 * T))
+    return params, planes, advret, co
+
+
+def _loss_jnp(params, planes, advret, co):
+    """Plane-space PPO loss with the SAME formulation the kernel
+    differentiates by hand — autodiff ground truth for gate 1 (full batch:
+    perm = identity)."""
+    aw = actor_weights(params)
+    cw = critic_weights(params)
+    ls_row = _log_std(params)
+    rows, T = planes.shape[0], planes.shape[2]
+    S = T * rows * 128
+    flat = planes.transpose(1, 0, 2, 3).reshape(N_TRAJ, S)
+    X = flat[PAT.TP_OBS0:PAT.TP_OBS0 + 13]
+    a = [flat[PAT.TP_ACT0 + k] for k in range(4)]
+    logp_old = flat[PAT.TP_LOGP]
+    v_old = flat[PAT.TP_VAL]
+    adv = advret[0].reshape(S)
+    ret = advret[1].reshape(S)
+
+    mx = PAT._tower(X, aw)
+    vx = PAT._tower(X, cw)
+    v = vx[0]
+    lp = None
+    for k in range(4):
+        std_k = jnp.exp(ls_row[0, k])
+        zk = (a[k] - mx[k]) / std_k
+        term = jnp.float32(-0.5) * (zk * zk) - ls_row[0, k] - jnp.float32(
+            PAT._HALF_LOG_2PI)
+        lp = term if lp is None else lp + term
+    ratio = jnp.exp(lp - logp_old)
+    pg1 = -adv * ratio
+    pg2 = -adv * jnp.clip(ratio, 1.0 - co.clip_eps, 1.0 + co.clip_eps)
+    pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
+    v_clipped = v_old + jnp.clip(v - v_old, -co.vf_clip, co.vf_clip)
+    v_loss = 0.5 * jnp.mean(jnp.maximum((v - ret) ** 2,
+                                        (v_clipped - ret) ** 2))
+    return pg_loss + co.vf_coef * v_loss
+
+
+def test_handwritten_backprop_matches_autodiff():
+    params, planes, advret, co = _fixture()
+    rows = planes.shape[0]
+    perm = jnp.arange(rows, dtype=jnp.int32)
+    (ga, gc), st = PU.ppo_update(
+        planes, advret, perm, actor_weights(params), critic_weights(params),
+        _log_std(params), tc=4, co=co, mode="reference")
+    dls = st[PU.ST_DLS0:PU.ST_DLS0 + 4]  # entropy term excluded (added by
+    grads = ppo_pallas._grads_pytree(params, ga, gc, dls)  # the trainer)
+
+    auto = jax.grad(_loss_jnp)(params, planes, advret, co)
+    for path_a, path_b in zip(
+            jax.tree_util.tree_leaves_with_path(grads),
+            jax.tree_util.tree_leaves_with_path(auto)):
+        assert path_a[0] == path_b[0]
+        np.testing.assert_allclose(
+            np.asarray(path_a[1]), np.asarray(path_b[1]),
+            rtol=2e-4, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path_a[0]))
+
+
+def test_update_kernel_bitwise_vs_reference():
+    params, planes, advret, co = _fixture(T=8, rows=8)
+    perm = jnp.asarray([5, 2, 7, 0], jnp.int32)  # a strided minibatch
+    aw, cw, ls = actor_weights(params), critic_weights(params), _log_std(params)
+    (ga_k, gc_k), st_k = PU.ppo_update(planes, advret, perm, aw, cw, ls,
+                                       tc=4, co=co, mode="kernel",
+                                       interpret=True)
+    (ga_r, gc_r), st_r = PU.ppo_update(planes, advret, perm, aw, cw, ls,
+                                       tc=4, co=co, mode="reference")
+    for (wk, bk), (wr, br) in zip((*ga_k, *gc_k), (*ga_r, *gc_r)):
+        np.testing.assert_array_equal(np.asarray(wk).view(np.uint32),
+                                      np.asarray(wr).view(np.uint32))
+        np.testing.assert_array_equal(np.asarray(bk).view(np.uint32),
+                                      np.asarray(br).view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(st_k).view(np.uint32),
+                                  np.asarray(st_r).view(np.uint32))
+
+
+def test_grads_pytree_matches_params_structure():
+    params, planes, advret, co = _fixture(hidden=(8, 8, 8))
+    rows = planes.shape[0]
+    perm = jnp.arange(rows, dtype=jnp.int32)
+    (ga, gc), st = PU.ppo_update(
+        planes, advret, perm, actor_weights(params), critic_weights(params),
+        _log_std(params), tc=4, co=co, mode="reference")
+    grads = ppo_pallas._grads_pytree(params, ga, gc,
+                                     st[PU.ST_DLS0:PU.ST_DLS0 + 4])
+    assert (jax.tree_util.tree_structure(grads)
+            == jax.tree_util.tree_structure(params))
+    for g, p in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(params)):
+        assert g.shape == p.shape and g.dtype == p.dtype
+
+
+def test_update_minibatch_rows_actually_select():
+    """Different row subsets give different gradients; the same subset in a
+    different order gives the same SUMS up to order (here: exactly, because
+    accumulation follows perm order — so permuted perm changes bits only
+    through order; check values-close instead)."""
+    params, planes, advret, co = _fixture(T=8, rows=8)
+    aw, cw, ls = actor_weights(params), critic_weights(params), _log_std(params)
+    g1, _ = PU.ppo_update(planes, advret, jnp.asarray([0, 1], jnp.int32),
+                          aw, cw, ls, tc=4, co=co, mode="reference")
+    g2, _ = PU.ppo_update(planes, advret, jnp.asarray([6, 7], jnp.int32),
+                          aw, cw, ls, tc=4, co=co, mode="reference")
+    d = max(float(jnp.abs(a[0] - b[0]).max())
+            for a, b in zip(g1[0], g2[0]))
+    assert d > 1e-8  # different data -> different grads
+    g3, _ = PU.ppo_update(planes, advret, jnp.asarray([1, 0], jnp.int32),
+                          aw, cw, ls, tc=4, co=co, mode="reference")
+    for (wa, ba), (wb, bb) in zip(g1[0], g3[0]):
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
+                                   rtol=1e-5, atol=1e-8)
