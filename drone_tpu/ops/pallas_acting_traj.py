@@ -93,12 +93,23 @@ def _log_std(params):
     return jnp.asarray(p["log_std"], jnp.float32).reshape(1, 4)
 
 
-def _tower(x, weights):
+def _dot32(w, x, dtype=jnp.float32):
+    """MXU matmul with f32 accumulation; dtype=bfloat16 feeds the systolic
+    array bf16 operands (~3x the f32 matmul rate on v5e) while keeping the
+    f32 accumulator. THE matmul primitive shared by every kernel and mirror
+    in the traj/update path (the bitwise contract holds per dtype)."""
+    if dtype == jnp.float32:
+        return jnp.dot(w, x, preferred_element_type=jnp.float32)
+    return jnp.dot(w.astype(dtype), x.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _tower(x, weights, dtype=jnp.float32):
     """(in, L) @ MXU tower -> (out, L); tanh between layers, linear head.
     The ONE formulation shared by kernel and reference (bitwise contract)."""
     n = len(weights)
     for li, (w, b) in enumerate(weights):
-        x = jnp.dot(w, x, preferred_element_type=jnp.float32) + b[:, None]
+        x = _dot32(w, x, dtype) + b[:, None]
         if li < n - 1:
             x = jnp.tanh(x)
     return x
@@ -140,7 +151,8 @@ def _gauss4_planes(k0, k1, e, stp, uniform):
 
 
 def _traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, ls_ref, *refs,
-                 tc, task, integrator, n_actor, n_critic, stochastic):
+                 tc, task, integrator, n_actor, n_critic, stochastic,
+                 compute_dtype):
     nw = 2 * (n_actor + n_critic)
     w_refs = refs[:nw]
     traj_ref, ofs_ref, ous_ref, ost_ref, stats_ref = refs[nw:]
@@ -179,8 +191,8 @@ def _traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, ls_ref, *refs,
     def body(s, carry):
         c, acc = carry
         X = PR.obs_matrix(c, L)
-        mx = _tower(X, actor)
-        vx = _tower(X, critic)
+        mx = _tower(X, actor, compute_dtype)
+        vx = _tower(X, critic, compute_dtype)
         m = [mx[k].reshape(shape) for k in range(4)]
         value = vx[0].reshape(shape)
         rc, k0, k1, stp = c[22], c[23], c[24], c[19]
@@ -205,12 +217,13 @@ def _traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, ls_ref, *refs,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "tc", "lanes_per_block", "task", "integrator",
-                     "n_actor", "n_critic", "interpret", "stochastic"),
+                     "n_actor", "n_critic", "interpret", "stochastic",
+                     "compute_dtype"),
     donate_argnums=(0,),
 )
 def _run(state, env_params, actor_w, critic_w, log_std, *, T, tc,
          lanes_per_block, task, integrator, n_actor, n_critic,
-         interpret=False, stochastic=True):
+         interpret=False, stochastic=True, compute_dtype="float32"):
     n = state.pos.shape[0]
     fs, us, st = PR.pack_state(state, n // 128)
     pf, pi = PR._pack_params(env_params)
@@ -228,7 +241,8 @@ def _run(state, env_params, actor_w, critic_w, log_std, *, T, tc,
     w_flat = [m for wb in (*actor_w, *critic_w) for m in wb]
     kernel = functools.partial(_traj_kernel, tc=tc, task=task,
                                integrator=integrator, n_actor=n_actor,
-                               n_critic=n_critic, stochastic=stochastic)
+                               n_critic=n_critic, stochastic=stochastic,
+                               compute_dtype=jnp.dtype(compute_dtype).type)
     traj, ofs, ous, ost, stats = pl.pallas_call(
         kernel,
         grid=(nb, nt),
@@ -313,7 +327,8 @@ def traj_act_rollout_pallas(state: EnvState, policy_params,
                             env_params: EnvParams, statics: EnvStatics,
                             T: int, lanes_per_block: int = 4096,
                             time_chunk: int | None = None,
-                            interpret: bool = False, stochastic: bool = True):
+                            interpret: bool = False, stochastic: bool = True,
+                            compute_dtype: str = "float32"):
     """Run T fused policy+env steps on-chip, emitting the PPO training
     trajectory to HBM.
 
@@ -325,7 +340,8 @@ def traj_act_rollout_pallas(state: EnvState, policy_params,
     final, traj, stats = traj_act_rollout_pallas_planes(
         state, policy_params, env_params, statics, T,
         lanes_per_block=lanes_per_block, time_chunk=time_chunk,
-        interpret=interpret, stochastic=stochastic)
+        interpret=interpret, stochastic=stochastic,
+        compute_dtype=compute_dtype)
     return final, _planes_to_traj(traj, state.pos.shape[0]), stats
 
 
@@ -335,7 +351,8 @@ def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
                                    lanes_per_block: int = 4096,
                                    time_chunk: int | None = None,
                                    interpret: bool = False,
-                                   stochastic: bool = True):
+                                   stochastic: bool = True,
+                                   compute_dtype: str = "float32"):
     """traj_act_rollout_pallas without the (T, B, ...) conversion: returns
     (final EnvState, raw planes (rows, N_TRAJ, T, 128), stats dict). The
     plane layout is what the PPO update megakernel (ops/pallas_update.py)
@@ -352,7 +369,8 @@ def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
         state, env_params, actor_w, critic_w, _log_std(policy_params),
         T=T, tc=tc, lanes_per_block=lanes_per_block, task=statics.task,
         integrator=statics.integrator, n_actor=len(actor_w),
-        n_critic=len(critic_w), interpret=interpret, stochastic=stochastic)
+        n_critic=len(critic_w), interpret=interpret, stochastic=stochastic,
+        compute_dtype=compute_dtype)
     # kernel-natural (T, N_TRAJ, rows, 128) -> row-major gatherable layout;
     # the 128-lane minor dim is preserved so this is a cheap relayout
     # (~2x buffer bytes of HBM traffic), not a narrow transpose
@@ -366,13 +384,15 @@ def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
 
 def traj_act_rollout_reference(state: EnvState, policy_params,
                                env_params: EnvParams, statics: EnvStatics,
-                               T: int, stochastic: bool = True):
+                               T: int, stochastic: bool = True,
+                               compute_dtype: str = "float32"):
     """jnp mirror of traj_act_rollout_pallas: same matmul formulation
     (W^T @ obs planes), same noise stream, same expression order. In
     interpret mode on the CPU backend the kernel matches this bitwise
     (single lane block); params ride as traced arguments."""
     actor_w = tuple(actor_weights(policy_params))
     critic_w = tuple(critic_weights(policy_params))
+    cdt = jnp.dtype(compute_dtype).type
     ls_row = _log_std(policy_params)
     ls = [ls_row[0, k] for k in range(4)]
 
@@ -380,8 +400,8 @@ def traj_act_rollout_reference(state: EnvState, policy_params,
         s = carry
         obs = jax.vmap(env_mod.observe)(s)            # (B, OBS_DIM)
         X = obs.T                                     # (OBS_DIM, B) planes
-        mx = _tower(X, actor_w)
-        vx = _tower(X, critic_w)
+        mx = _tower(X, actor_w, cdt)
+        vx = _tower(X, critic_w, cdt)
         m = [mx[k] for k in range(4)]
         value = vx[0]
         z = _gauss4_planes(s.key0, s.key1, s.reset_count, s.step,

@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from drone_tpu.ops import pallas_acting_traj as PAT
 from drone_tpu.ops.pallas_acting_traj import (
     N_TRAJ,
+    _dot32,
     TP_ACT0,
     TP_LOGP,
     TP_OBS0,
@@ -74,36 +75,37 @@ class UpdateConsts:
     inv_m: float     # 1 / (samples per minibatch)
 
 
-def _tower_fwd(x, weights):
+def _tower_fwd(x, weights, dtype=jnp.float32):
     """(in, S) -> (out, S) with the per-layer inputs retained for backprop.
     acts[i] is the input to layer i (acts[0] = x)."""
     acts = [x]
     n = len(weights)
     for li, (w, b) in enumerate(weights):
-        x = jnp.dot(w, x, preferred_element_type=jnp.float32) + b[:, None]
+        x = _dot32(w, x, dtype) + b[:, None]
         if li < n - 1:
             x = jnp.tanh(x)
         acts.append(x)
     return x, acts
 
 
-def _tower_bwd(weights, acts, dy):
+def _tower_bwd(weights, acts, dy, dtype=jnp.float32):
     """Backprop dy (out, S) through the tower; returns [(dW, db), ...] with
     dW in the kernel's (out, in) orientation and db shaped (out, 1)."""
     grads = [None] * len(weights)
     for li in range(len(weights) - 1, -1, -1):
         w, _ = weights[li]
-        dW = jnp.dot(dy, acts[li].T, preferred_element_type=jnp.float32)
+        dW = _dot32(dy, acts[li].T, dtype)
         db = jnp.sum(dy, axis=1, keepdims=True)
         grads[li] = (dW, db)
         if li > 0:
-            dx = jnp.dot(w.T, dy, preferred_element_type=jnp.float32)
+            dx = _dot32(w.T, dy, dtype)
             y = acts[li]  # tanh output of layer li-1
             dy = dx * (1.0 - y * y)
     return grads
 
 
-def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co):
+def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co,
+                 dtype=jnp.float32):
     """Forward + hand-written backward for one sample block.
 
     X: (OBS_DIM, S) obs matrix; a: 4 action planes; logp_old/v_old/adv/ret:
@@ -119,8 +121,8 @@ def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co):
     inv_m = jnp.float32(co.inv_m)
     C = jnp.float32(_HALF_LOG_2PI)
 
-    mx, acts_a = _tower_fwd(X, actor_w)
-    vx, acts_c = _tower_fwd(X, critic_w)
+    mx, acts_a = _tower_fwd(X, actor_w, dtype)
+    vx, acts_c = _tower_fwd(X, critic_w, dtype)
     m = [mx[k].reshape(shape) for k in range(4)]
     v = vx[0].reshape(shape)
 
@@ -158,8 +160,8 @@ def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co):
     dm = [g_logp * (z[k] / jnp.exp(ls[k])) for k in range(4)]
     dmx = jnp.stack(dm).reshape(4, S)
     dvx = g_v.reshape(1, S)
-    ga = _tower_bwd(actor_w, acts_a, dmx)
-    gc = _tower_bwd(critic_w, acts_c, dvx)
+    ga = _tower_bwd(actor_w, acts_a, dmx, dtype)
+    gc = _tower_bwd(critic_w, acts_c, dvx, dtype)
 
     stats = (pg, vl, logp_old - lp,
              (jnp.abs(ratio - 1.0) > co.clip_eps).astype(jnp.float32),
@@ -181,7 +183,7 @@ def _read_block(planes, ar):
 
 
 def _update_kernel(perm_ref, pl_ref, ar_ref, ls_ref, *refs,
-                   n_actor, n_critic, co):
+                   n_actor, n_critic, co, compute_dtype):
     nw = 2 * (n_actor + n_critic)
     w_refs = refs[:nw]
     g_refs = refs[nw:2 * nw]
@@ -204,7 +206,7 @@ def _update_kernel(perm_ref, pl_ref, ar_ref, ls_ref, *refs,
     ar = ar_ref[:, 0]           # (2, Tc, 128)
     X, a, logp_old, v_old, adv, ret = _read_block(planes, ar)
     ga, gc, stats = _block_grads(X, a, logp_old, v_old, adv, ret,
-                                 actor, critic, ls, co)
+                                 actor, critic, ls, co, compute_dtype)
     flat = [m for wb in (*ga, *gc) for m in wb]
     for r, val in zip(g_refs, flat):
         r[:] += val
@@ -215,10 +217,11 @@ def _update_kernel(perm_ref, pl_ref, ar_ref, ls_ref, *refs,
 @functools.partial(
     jax.jit,
     static_argnames=("mb_rows", "tc", "n_actor", "n_critic", "co",
-                     "interpret"),
+                     "interpret", "compute_dtype"),
 )
 def _update_call(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
-                 mb_rows, tc, n_actor, n_critic, co, interpret=False):
+                 mb_rows, tc, n_actor, n_critic, co, interpret=False,
+                 compute_dtype="float32"):
     rows, T = planes.shape[0], planes.shape[2]
     nt = T // tc
     w_flat = [m for wb in (*actor_w, *critic_w) for m in wb]
@@ -255,7 +258,8 @@ def _update_call(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
         ),
     )
     kernel = functools.partial(_update_kernel, n_actor=n_actor,
-                               n_critic=n_critic, co=co)
+                               n_critic=n_critic, co=co,
+                               compute_dtype=jnp.dtype(compute_dtype).type)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -292,7 +296,8 @@ def pick_update_chunk(T: int, cap: int = 16) -> int:
 
 
 def ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
-                         log_std, *, tc, co: UpdateConsts):
+                         log_std, *, tc, co: UpdateConsts,
+                         compute_dtype="float32"):
     """Pure-jnp mirror of the update kernel: same block math
     (`_block_grads`), same (row, time-chunk) accumulation order. Bitwise
     contract for the interpret-mode tests; the CPU-backend update path."""
@@ -315,7 +320,8 @@ def ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
             advret, (0, row, t * tc, 0), (2, 1, tc, 128))[:, 0]
         X, a, logp_old, v_old, adv, ret = _read_block(blk, ar)
         ga, gc, stats = _block_grads(X, a, logp_old, v_old, adv, ret,
-                                     actor_w, critic_w, ls, co)
+                                     actor_w, critic_w, ls, co,
+                                     jnp.dtype(compute_dtype).type)
         ga_acc = [(aw + w, ab + b) for (aw, ab), (w, b) in zip(ga_acc, ga)]
         gc_acc = [(aw + w, ab + b) for (aw, ab), (w, b) in zip(gc_acc, gc)]
         st_acc = st_acc + jnp.stack(stats)
@@ -327,7 +333,7 @@ def ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
 
 def ppo_update(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
                tc, co: UpdateConsts, mode: str = "kernel",
-               interpret: bool = False):
+               interpret: bool = False, compute_dtype: str = "float32"):
     """One PPO minibatch gradient pass over the trajectory planes.
 
     planes: (rows, N_TRAJ, T, 128) from the trajectory rollout;
@@ -344,6 +350,8 @@ def ppo_update(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
         return _update_call(planes, advret, perm_mb, actor_w, critic_w,
                             log_std, mb_rows=perm_mb.shape[0], tc=tc,
                             n_actor=len(actor_w), n_critic=len(critic_w),
-                            co=co, interpret=interpret)
+                            co=co, interpret=interpret,
+                            compute_dtype=compute_dtype)
     return ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
-                                log_std, tc=tc, co=co)
+                                log_std, tc=tc, co=co,
+                                compute_dtype=compute_dtype)

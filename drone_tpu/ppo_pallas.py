@@ -81,12 +81,18 @@ def make_pallas_train_step(
     mode: str = "kernel",
     interpret: bool = False,
     update_tc: int = 16,
+    compute_dtype: str = "float32",
 ):
     """Build the megakernel train step: RunnerState -> (RunnerState, metrics).
 
     mode: "kernel" (Mosaic kernels; interpret=True routes them through the
     Pallas interpreter for CPU testing) or "reference" (pure-jnp mirrors,
     bitwise-equal math). Metrics keys match drone_tpu.ppo.make_train_step.
+    compute_dtype: "float32" or "bfloat16" — operand precision of the tower
+    matmuls in BOTH kernels (f32 accumulation either way; the kernel/mirror
+    bitwise contract holds per dtype). bfloat16 trades ulp-level policy
+    precision for ~3x the MXU matmul rate, the same trade the scan trainer
+    offers via ActorCritic(dtype=bfloat16).
     """
     if mode not in ("kernel", "reference"):
         raise ValueError(f"mode must be 'kernel' or 'reference', got {mode!r}")
@@ -107,9 +113,11 @@ def make_pallas_train_step(
         if mode == "kernel":
             return PAT.traj_act_rollout_pallas_planes(
                 runner.env_state, runner.params, env_params, statics,
-                cfg.horizon, interpret=interpret)
+                cfg.horizon, interpret=interpret,
+                compute_dtype=compute_dtype)
         final, traj, stats = PAT.traj_act_rollout_reference(
-            runner.env_state, runner.params, env_params, statics, cfg.horizon)
+            runner.env_state, runner.params, env_params, statics, cfg.horizon,
+            compute_dtype=compute_dtype)
         return final, PAT.pack_traj_planes(traj, rows), stats
 
     def train_step(runner: ppo_mod.RunnerState):
@@ -124,7 +132,8 @@ def make_pallas_train_step(
         # leading — these transposes keep the 128-lane minor dim (pure
         # relayout, no narrow transpose)
         critic_w = critic_weights(runner.params)
-        last_value = _tower(last_obs.T, critic_w)[0].reshape(rows, 128)
+        cdt = jnp.dtype(compute_dtype).type
+        last_value = _tower(last_obs.T, critic_w, cdt)[0].reshape(rows, 128)
         t_major = lambda p: planes[:, p].transpose(1, 0, 2)
         adv, ret = ppo_mod.compute_gae(
             t_major(TP_REW), t_major(TP_VAL), t_major(TP_DONE),
@@ -148,7 +157,7 @@ def make_pallas_train_step(
             ent = jnp.sum(ls[0] + 0.5 * (1.0 + 2.0 * PAT._HALF_LOG_2PI))
             (ga, gc), st = PU.ppo_update(
                 planes, advret, perm_mb, aw, cw, ls, tc=tc, co=co,
-                mode=mode, interpret=interpret)
+                mode=mode, interpret=interpret, compute_dtype=compute_dtype)
             dls = st[PU.ST_DLS0:PU.ST_DLS0 + 4] - cfg.ent_coef
             grads = _grads_pytree(params, ga, gc, dls)
             if axis_name is not None:

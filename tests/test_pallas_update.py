@@ -155,3 +155,26 @@ def test_update_minibatch_rows_actually_select():
     for (wa, ba), (wb, bb) in zip(g1[0], g3[0]):
         np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_update_kernel_bf16_bitwise_and_sane():
+    """compute_dtype='bfloat16' holds the same kernel-vs-mirror bitwise
+    contract (bf16 operands, f32 accumulators on both sides) and stays close
+    to the f32 gradients."""
+    params, planes, advret, co = _fixture()
+    rows = planes.shape[0]
+    perm = jnp.arange(rows, dtype=jnp.int32)
+    aw, cw, ls = actor_weights(params), critic_weights(params), _log_std(params)
+    gk, sk = PU.ppo_update(planes, advret, perm, aw, cw, ls, tc=4, co=co,
+                           mode="kernel", interpret=True,
+                           compute_dtype="bfloat16")
+    gr, sr = PU.ppo_update(planes, advret, perm, aw, cw, ls, tc=4, co=co,
+                           mode="reference", compute_dtype="bfloat16")
+    for (wk, bk), (wr, br) in zip((*gk[0], *gk[1]), (*gr[0], *gr[1])):
+        np.testing.assert_array_equal(np.asarray(wk).view(np.uint32),
+                                      np.asarray(wr).view(np.uint32))
+    g32, _ = PU.ppo_update(planes, advret, perm, aw, cw, ls, tc=4, co=co,
+                           mode="reference", compute_dtype="float32")
+    for (wk, _), (w3, _) in zip(gk[0], g32[0]):
+        np.testing.assert_allclose(np.asarray(wk), np.asarray(w3),
+                                   rtol=0.1, atol=2e-4)
