@@ -106,6 +106,31 @@ def bench_policy_rollout(env, N=131072, T=256, iters=4):
     return N * T * iters / (time.perf_counter() - t0)
 
 
+def bench_train_pallas(env, N=65536, T=128, iters=3):
+    """Full fused PPO train step (megakernel trainer: rollout kernel + GAE +
+    update kernel + fused adam) — train-SPS, the BASELINE.json:10 metric."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_pallas
+    from drone_tpu.models import ActorCritic
+
+    model = ActorCritic()
+    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                            num_minibatches=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=ppo_pallas.init_fused_opt_state(runner.params))
+    step = jax.jit(ppo_pallas.make_pallas_train_step(
+        opt, env.params, env.statics, cfg, fused_optimizer=True))
+    runner, m = step(runner)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        runner, m = step(runner)
+    float(m["loss"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
 def main(cfg=None):
     """cfg: optional drone_tpu Config (from the CLI); its [env] section picks
     the benchmarked task/integrator. The Pallas megakernel (which covers
@@ -123,10 +148,19 @@ def main(cfg=None):
     mega = bench_megakernel(env)
     acting = bench_acting_megakernel(env)
     policy = bench_policy_rollout(env)
+    if env.statics.task == "hover" and env.statics.integrator == "euler":
+        try:
+            train_sps = bench_train_pallas(env)
+            train_line = (f"; megakernel PPO trainer {train_sps / 1e6:.1f}M "
+                          f"train-SPS (64k envs, 4 epochs)")
+        except Exception as e:  # pragma: no cover — keep the headline alive
+            train_line = f"; megakernel trainer bench failed: {e!r:.120}"
+    else:
+        train_line = ""
     print(
         f"secondary: fused policy+env megakernel {acting / 1e6:.1f}M steps/s "
         f"(deterministic serving path); policy-in-loop scan rollout "
-        f"{policy / 1e6:.1f}M steps/s (stochastic acting path)",
+        f"{policy / 1e6:.1f}M steps/s (stochastic acting path)" + train_line,
         file=sys.stderr,
     )
     target_per_chip = 100e6 / 16.0

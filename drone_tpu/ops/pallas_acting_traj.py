@@ -106,10 +106,12 @@ def _dot32(w, x, dtype=jnp.float32):
 
 def _tower(x, weights, dtype=jnp.float32):
     """(in, L) @ MXU tower -> (out, L); tanh between layers, linear head.
-    The ONE formulation shared by kernel and reference (bitwise contract)."""
+    The ONE formulation shared by kernel and reference (bitwise contract).
+    Biases may be (out,) or column (out, 1) — the fused-optimizer path keeps
+    them 2-D so gradient/optimizer tensors share one shape."""
     n = len(weights)
     for li, (w, b) in enumerate(weights):
-        x = _dot32(w, x, dtype) + b[:, None]
+        x = _dot32(w, x, dtype) + (b if b.ndim == 2 else b[:, None])
         if li < n - 1:
             x = jnp.tanh(x)
     return x

@@ -139,11 +139,18 @@ def _uniform(bits):
 
 
 def pick_lanes_per_block(n: int, cap: int = 8192) -> int:
-    """Largest multiple of 128 that divides n and is <= cap. n must be a
-    multiple of 128 (the minimum lane tile). n%128==0 does NOT imply
-    n%8192==0 — callers that hardcoded min(8192, n) crashed on e.g.
-    n=8320."""
+    """Largest multiple of 128 that divides n and is <= cap, PREFERRING
+    multiples of 1024: Mosaic rejects the (L,) -> (rb, 128) reshapes the
+    policy kernels do unless rb % 8 == 0 (measured on v5e: rb=4 and rb=9
+    fail `infer-vector-layout: unsupported shape cast`, rb=8 compiles), so
+    a 1024-aligned block is required for COMPILED runs; 128-aligned blocks
+    remain available for interpret-mode tests on small batches. n must be a
+    multiple of 128. n%128==0 does NOT imply n%8192==0 — callers that
+    hardcoded min(8192, n) crashed on e.g. n=8320."""
     assert n % 128 == 0, n
+    for k in range(min(cap, n) // 1024, 0, -1):
+        if n % (k * 1024) == 0:
+            return k * 1024
     for k in range(min(cap, n) // 128, 0, -1):
         if n % (k * 128) == 0:
             return k * 128

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +82,7 @@ def _tower_fwd(x, weights, dtype=jnp.float32):
     acts = [x]
     n = len(weights)
     for li, (w, b) in enumerate(weights):
-        x = _dot32(w, x, dtype) + b[:, None]
+        x = _dot32(w, x, dtype) + (b if b.ndim == 2 else b[:, None])
         if li < n - 1:
             x = jnp.tanh(x)
         acts.append(x)
@@ -355,3 +356,109 @@ def ppo_update(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
     return ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
                                 log_std, tc=tc, co=co,
                                 compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused clip+adam optimizer kernel: one launch per SGD step for the whole
+# (clip_by_global_norm -> adam) pipeline that optax spreads over ~100 tiny
+# XLA ops (~0.9 ms of launch glue per step on the tunneled v5e). All params
+# are a few KB, so the kernel is a single grid step with every tensor in
+# VMEM; the math mirrors optax.chain(clip_by_global_norm, adam(eps=1e-5))
+# and is shared with the jnp mirror via _adam_math.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AdamConsts:
+    """Static optimizer constants (match ppo.make_optimizer's chain)."""
+
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-5
+    clip_norm: float = 0.5
+
+
+def _adam_math(tensors, grads, mus, nus, lr, count, ac: AdamConsts):
+    """The one (clip+adam) implementation: lists of arrays -> updated lists.
+    lr/count are traced scalars; runs identically in-kernel and in the
+    mirror."""
+    ss = None
+    for g in grads:
+        s = jnp.sum(g * g)
+        ss = s if ss is None else ss + s
+    gn = jnp.sqrt(ss)
+    clip = jnp.float32(ac.clip_norm)
+    scale = jnp.where(gn > clip, clip / gn, jnp.float32(1.0))
+    c = count + 1.0
+    bc1 = 1.0 - jnp.exp(c * jnp.float32(math.log(ac.b1)))
+    bc2 = 1.0 - jnp.exp(c * jnp.float32(math.log(ac.b2)))
+    b1 = jnp.float32(ac.b1)
+    b2 = jnp.float32(ac.b2)
+    eps = jnp.float32(ac.eps)
+    out_w, out_mu, out_nu = [], [], []
+    for w, g, mu, nu in zip(tensors, grads, mus, nus):
+        gc_ = g * scale
+        mu2 = b1 * mu + (1.0 - b1) * gc_
+        nu2 = b2 * nu + (1.0 - b2) * (gc_ * gc_)
+        upd = -lr * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
+        out_w.append(w + upd)
+        out_mu.append(mu2)
+        out_nu.append(nu2)
+    return out_w, out_mu, out_nu
+
+
+def _adam_kernel(sc_ref, *refs, n, ac):
+    grads = [refs[i][:] for i in range(n)]
+    tensors = [refs[n + i][:] for i in range(n)]
+    mus = [refs[2 * n + i][:] for i in range(n)]
+    nus = [refs[3 * n + i][:] for i in range(n)]
+    ow = refs[4 * n:5 * n]
+    omu = refs[5 * n:6 * n]
+    onu = refs[6 * n:7 * n]
+    lr = sc_ref[0, 0]
+    count = sc_ref[0, 1]
+    w2, mu2, nu2 = _adam_math(tensors, grads, mus, nus, lr, count, ac)
+    for r, v in zip(ow, w2):
+        r[:] = v
+    for r, v in zip(omu, mu2):
+        r[:] = v
+    for r, v in zip(onu, nu2):
+        r[:] = v
+
+
+@functools.partial(jax.jit, static_argnames=("ac", "interpret"))
+def _adam_call(grads, tensors, mus, nus, lr, count, *, ac: AdamConsts,
+               interpret=False):
+    n = len(tensors)
+    sc = jnp.stack([jnp.float32(lr), jnp.float32(count)]).reshape(1, 2)
+
+    def full(shp):
+        return pl.BlockSpec(shp, lambda: tuple(0 for _ in shp),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_adam_kernel, n=n, ac=ac),
+        grid=(),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda: (0, 0), memory_space=pltpu.SMEM),
+            *[full(t.shape) for t in (*grads, *tensors, *mus, *nus)],
+        ],
+        out_specs=tuple(full(t.shape) for t in (*tensors, *tensors, *tensors)),
+        out_shape=tuple(jax.ShapeDtypeStruct(t.shape, jnp.float32)
+                        for t in (*tensors, *tensors, *tensors)),
+        interpret=interpret,
+    )(sc, *grads, *tensors, *mus, *nus)
+    return (list(outs[:n]), list(outs[n:2 * n]), list(outs[2 * n:]))
+
+
+def fused_adam(grads, tensors, mus, nus, lr, count, *, ac: AdamConsts,
+               mode: str = "kernel", interpret: bool = False):
+    """clip_by_global_norm + adam over kernel-layout tensor lists.
+
+    Returns (new tensors, new mu, new nu). mode="reference" runs the shared
+    math as plain jnp (bitwise contract with the kernel in interpret mode).
+    """
+    if mode == "kernel":
+        return _adam_call(tuple(grads), tuple(tensors), tuple(mus),
+                          tuple(nus), lr, count, ac=ac, interpret=interpret)
+    return _adam_math(list(tensors), list(grads), list(mus), list(nus),
+                      jnp.float32(lr), jnp.float32(count), ac)

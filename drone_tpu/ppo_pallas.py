@@ -71,6 +71,37 @@ def _grads_pytree(params, ga, gc, dls):
     return {"params": out} if "params" in params else out
 
 
+def _kernel_tensors(params):
+    """params -> (flat kernel-layout tensor list [W, b(out,1), ..., ls(1,4)],
+    n_actor, n_critic). The fused-optimizer carry format: every parameter,
+    gradient, and adam-moment tensor shares these shapes."""
+    aw = actor_weights(params)
+    cw = critic_weights(params)
+    t = []
+    for w, b in (*aw, *cw):
+        t.append(w)
+        t.append(b.reshape(-1, 1))
+    t.append(_log_std(params))
+    return t, len(aw), len(cw)
+
+
+def _tensors_to_params(template, tensors, n_actor, n_critic):
+    pairs = [(tensors[2 * i], tensors[2 * i + 1])
+             for i in range(n_actor + n_critic)]
+    return _grads_pytree(template, pairs[:n_actor], pairs[n_actor:],
+                         tensors[-1].reshape(4))
+
+
+def init_fused_opt_state(params):
+    """Fused-optimizer state: (count, mu, nu) with mu/nu in kernel tensor
+    layout. Use as RunnerState.opt_state when fused_optimizer=True (it is a
+    plain pytree — orbax checkpointing works unchanged)."""
+    tensors, _, _ = _kernel_tensors(params)
+    return (jnp.float32(0.0),
+            [jnp.zeros_like(t) for t in tensors],
+            [jnp.zeros_like(t) for t in tensors])
+
+
 def make_pallas_train_step(
     optimizer: optax.GradientTransformation,
     env_params: EnvParams,
@@ -82,6 +113,7 @@ def make_pallas_train_step(
     interpret: bool = False,
     update_tc: int = 16,
     compute_dtype: str = "float32",
+    fused_optimizer: bool = False,
 ):
     """Build the megakernel train step: RunnerState -> (RunnerState, metrics).
 
@@ -108,6 +140,19 @@ def make_pallas_train_step(
     co = PU.UpdateConsts(clip_eps=cfg.clip_eps, vf_clip=cfg.vf_clip,
                          vf_coef=cfg.vf_coef, inv_m=1.0 / m_samples)
     tc = PU.pick_update_chunk(cfg.horizon, cap=update_tc)
+    # fused optimizer: clip+adam as ONE kernel launch per SGD step, weights
+    # carried in kernel layout across the whole update phase (the optax path
+    # costs ~0.9 ms of tiny-op glue per step). Semantics match
+    # ppo.make_optimizer: clip_by_global_norm(max_grad_norm) -> adam(lr,
+    # eps=1e-5), with the same linear lr anneal.
+    ac = PU.AdamConsts(clip_norm=cfg.max_grad_norm)
+    total_opt_steps = cfg.total_updates * cfg.epochs * cfg.num_minibatches
+
+    def _fused_lr(count):
+        if not cfg.anneal_lr:
+            return jnp.float32(cfg.lr)
+        frac = jnp.minimum(count / jnp.float32(total_opt_steps), 1.0)
+        return jnp.float32(cfg.lr) * (1.0 - frac)
 
     def rollout(runner):
         if mode == "kernel":
@@ -148,7 +193,17 @@ def make_pallas_train_step(
         advret = jnp.stack([adv, ret]).transpose(0, 2, 1, 3)
 
         # --- epochs x minibatches through the update megakernel ------------
-        def sgd_step(params, opt_state, perm_mb):
+        def _losses(st, ent):
+            pg_loss = st[PU.ST_PG] * co.inv_m
+            v_loss = 0.5 * st[PU.ST_VL] * co.inv_m
+            loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            aux = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
+                       approx_kl=st[PU.ST_KL] * co.inv_m,
+                       clipfrac=st[PU.ST_CF] * co.inv_m)
+            return loss, aux
+
+        def sgd_step(carry, perm_mb):
+            params, opt_state = carry
             aw = actor_weights(params)
             cw = critic_weights(params)
             ls = _log_std(params)
@@ -164,32 +219,59 @@ def make_pallas_train_step(
                 grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            pg_loss = st[PU.ST_PG] * co.inv_m
-            v_loss = 0.5 * st[PU.ST_VL] * co.inv_m
-            loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
-            aux = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
-                       approx_kl=st[PU.ST_KL] * co.inv_m,
-                       clipfrac=st[PU.ST_CF] * co.inv_m)
-            return params, opt_state, (loss, aux)
+            return (params, opt_state), _losses(st, ent)
+
+        def sgd_step_fused(carry, perm_mb):
+            tensors, mu, nu, count = carry
+            na = n_actor_layers
+            aw = [(tensors[2 * i], tensors[2 * i + 1]) for i in range(na)]
+            cw = [(tensors[2 * (na + i)], tensors[2 * (na + i) + 1])
+                  for i in range(n_critic_layers)]
+            ls = tensors[-1]
+            ent = jnp.sum(ls[0] + 0.5 * (1.0 + 2.0 * PAT._HALF_LOG_2PI))
+            (ga, gc), st = PU.ppo_update(
+                planes, advret, perm_mb, aw, cw, ls, tc=tc, co=co,
+                mode=mode, interpret=interpret, compute_dtype=compute_dtype)
+            dls = (st[PU.ST_DLS0:PU.ST_DLS0 + 4]
+                   - cfg.ent_coef).reshape(1, 4)
+            grads = [m for wb in (*ga, *gc) for m in wb] + [dls]
+            if axis_name is not None:
+                grads = [jax.lax.pmean(g, axis_name) for g in grads]
+            tensors2, mu2, nu2 = PU.fused_adam(
+                grads, tensors, mu, nu, _fused_lr(count), count, ac=ac,
+                mode=mode, interpret=interpret)
+            return (tensors2, mu2, nu2, count + 1.0), _losses(st, ent)
+
+        if fused_optimizer:
+            tensors0, n_actor_layers, n_critic_layers = _kernel_tensors(
+                runner.params)
+            count0, mu0, nu0 = runner.opt_state
+            carry0 = (tensors0, mu0, nu0, count0)
+            step_fn = sgd_step_fused
+        else:
+            carry0 = (runner.params, runner.opt_state)
+            step_fn = sgd_step
 
         def epoch_body(carry, ekey):
-            params, opt_state = carry
             perm = jax.random.permutation(ekey, rows)
 
             def mb_body(carry, mb_idx):
-                params, opt_state = carry
                 perm_mb = jax.lax.dynamic_slice(
                     perm, (mb_idx * mb_rows,), (mb_rows,))
-                params, opt_state, out = sgd_step(params, opt_state, perm_mb)
-                return (params, opt_state), out
+                return step_fn(carry, perm_mb)
 
-            carry, losses = jax.lax.scan(
-                mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches))
-            return carry, losses
+            return jax.lax.scan(mb_body, carry,
+                                jnp.arange(cfg.num_minibatches))
 
         epoch_keys = jax.random.split(kperm, cfg.epochs)
-        (params, opt_state), (losses, auxes) = jax.lax.scan(
-            epoch_body, (runner.params, runner.opt_state), epoch_keys)
+        carry, (losses, auxes) = jax.lax.scan(epoch_body, carry0, epoch_keys)
+        if fused_optimizer:
+            tensors, mu, nu, count = carry
+            params = _tensors_to_params(runner.params, tensors,
+                                        n_actor_layers, n_critic_layers)
+            opt_state = (count, mu, nu)
+        else:
+            params, opt_state = carry
 
         # --- metrics (keys match ppo.make_train_step) ----------------------
         n_done = stats["episodes"]

@@ -61,6 +61,32 @@ def build(cfg: Config):
     runner = init_fn(model, env, cfg.train, seed=cfg.run.seed)
 
     n_dev = len(jax.devices())
+    backend = jax.default_backend()
+    eligible = (cfg.run.policy == "mlp"
+                and cfg.train.num_envs
+                % (128 * cfg.train.num_minibatches) == 0)
+    if backend != "cpu":
+        # compiled kernels need 1024-aligned lane blocks (Mosaic reshape
+        # rule); interpret mode on CPU accepts any 128-multiple
+        eligible = eligible and cfg.train.num_envs % 1024 == 0
+    if cfg.run.rollout == "auto":
+        # megakernel trainer on real TPU silicon when the batch shape
+        # allows; the scan trainer everywhere else
+        use_pallas = eligible and backend in ("tpu", "axon") and n_dev == 1
+    elif cfg.run.rollout == "pallas":
+        if not eligible:
+            raise ValueError(
+                "run.rollout='pallas' needs the MLP policy and num_envs "
+                f"divisible by 128*num_minibatches (got policy="
+                f"{cfg.run.policy!r}, num_envs={cfg.train.num_envs}, "
+                f"num_minibatches={cfg.train.num_minibatches})")
+        use_pallas = True
+    elif cfg.run.rollout == "scan":
+        use_pallas = False
+    else:
+        raise ValueError(f"run.rollout must be 'scan', 'pallas' or 'auto', "
+                         f"got {cfg.run.rollout!r}")
+
     if cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0:
         mesh = make_mesh()
         runner = place_runner(mesh, runner)
@@ -68,6 +94,18 @@ def build(cfg: Config):
             model.apply, opt, env.params, env.statics, cfg.train, mesh,
             example_runner=runner, recurrent=recurrent,
         )
+    elif use_pallas:
+        from drone_tpu import ppo_pallas
+
+        mesh = None
+        # NOTE: the fused-adam opt state is a different pytree than optax's
+        # — resume works within a trainer, not across trainer kinds
+        runner = runner.replace(
+            opt_state=ppo_pallas.init_fused_opt_state(runner.params))
+        step = jax.jit(ppo_pallas.make_pallas_train_step(
+            opt, env.params, env.statics, cfg.train,
+            interpret=backend == "cpu",
+            compute_dtype=cfg.run.compute_dtype, fused_optimizer=True))
     else:
         mesh = None
         step = jax.jit(step_builder(
@@ -150,9 +188,12 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
 
     # the acting megakernels compile on TPU ("tpu"/"axon" platforms) and run
     # through the Pallas interpreter on CPU; other backends (e.g. GPU, where
-    # the pure-JAX paths work fine) take the scan fallback below
+    # the pure-JAX paths work fine) take the scan fallback below. Compiled
+    # kernels additionally need 1024-aligned lane blocks (Mosaic reshape
+    # rule — see ops/pallas_rollout.pick_lanes_per_block).
     backend = jax.default_backend()
-    kernel_ok = backend in ("tpu", "axon") or backend == "cpu"
+    kernel_ok = ((backend in ("tpu", "axon") and n % 1024 == 0)
+                 or backend == "cpu")
 
     def _episode_stats(stats):
         n_ep = float(stats["episodes"])

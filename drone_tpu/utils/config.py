@@ -43,6 +43,13 @@ class RunConfig:
     # but measurably slower hover learning per update (coarse policy outputs
     # add ratio noise) — a throughput/quality tradeoff, not a free win
     compute_dtype: str = "float32"
+    # trainer implementation (MLP policy only):
+    #   "scan"   — CleanRL-shaped XLA baseline (any policy/backend)
+    #   "pallas" — megakernel trainer (ppo_pallas: fused rollout + fused
+    #              update + fused adam; 127M vs 27M train SPS at 64k envs
+    #              on one v5e); needs num_envs % (128*num_minibatches) == 0
+    #   "auto"   — "pallas" when eligible on a TPU backend, else "scan"
+    rollout: str = "auto"
 
 
 @dataclasses.dataclass

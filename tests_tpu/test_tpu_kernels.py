@@ -1,0 +1,222 @@
+"""Compiled-kernel assertions on the real chip.
+
+Turns the numerics prose of ops/pallas_rollout.py (_normalize_quat NOTE:
+Mosaic's rsqrt strength-reduction drifts the quaternion a few ulp from the
+XLA path) into asserted bounds, and pins the rest of the Mosaic surface:
+threefry bit-exactness, acting-kernel vs flax forward, trajectory-plane
+consistency, update-kernel gradients, fused adam.
+
+Tolerance doctrine: integer/uint state is BITWISE on silicon; float state
+is ulp-bounded over short horizons (the dynamics are chaotic — a 2-ulp
+quat difference doubles every few steps, so long-horizon comparisons are
+statistical, covered by tests/test_pallas_acting.py in interpret mode).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import drone_tpu
+from drone_tpu import env as env_mod
+from drone_tpu import prng
+from drone_tpu.models import ActorCritic
+from drone_tpu.ops import (
+    act_rollout_pallas,
+    rollout_pallas,
+    traj_act_rollout_pallas,
+)
+from drone_tpu.ops import pallas_acting_traj as PAT
+from drone_tpu.ops import pallas_update as PU
+from drone_tpu.ops.pallas_acting import actor_weights
+from drone_tpu.ops.pallas_acting_traj import critic_weights, _log_std
+
+
+def _ulp_diff(a, b):
+    """Max distance in representable-float steps between two f32 arrays."""
+    ai = np.asarray(a).view(np.int32).astype(np.int64)
+    bi = np.asarray(b).view(np.int32).astype(np.int64)
+    # map the sign-magnitude int pattern to a monotonic lattice
+    ai = np.where(ai < 0, -2147483648 - ai, ai)
+    bi = np.where(bi < 0, -2147483648 - bi, bi)
+    return int(np.abs(ai - bi).max())
+
+
+def test_threefry_bitwise_on_tpu():
+    """Counter RNG on silicon == the NumPy mirror, bit for bit (KAT plus a
+    spread of keys/counters)."""
+    lanes = np.arange(4096, dtype=np.uint32)
+    for seed in (0, 123456789):
+        k0_np, k1_np = prng.threefry2x32_np(
+            np.uint32(seed), np.uint32(prng.GOLDEN), lanes, np.uint32(0))
+        k0, k1 = jax.jit(prng.lane_key)(jnp.uint32(seed), jnp.asarray(lanes))
+        np.testing.assert_array_equal(np.asarray(k0), k0_np)
+        np.testing.assert_array_equal(np.asarray(k1), k1_np)
+        b0, b1 = jax.jit(prng.threefry2x32)(k0, k1, jnp.uint32(7),
+                                            jnp.uint32(0x40000000))
+        b0_np, b1_np = prng.threefry2x32_np(k0_np, k1_np, np.uint32(7),
+                                            np.uint32(0x40000000))
+        np.testing.assert_array_equal(np.asarray(b0), b0_np)
+        np.testing.assert_array_equal(np.asarray(b1), b1_np)
+    # Random123 known-answer
+    x0, x1 = jax.jit(prng.threefry2x32)(jnp.uint32(0), jnp.uint32(0),
+                                        jnp.uint32(0), jnp.uint32(0))
+    assert int(x0) == 0x6B200159 and int(x1) == 0x99BA4EFE
+
+
+def test_env_megakernel_vs_scan_on_tpu():
+    """Compiled env megakernel vs the jitted scan path ON THE CHIP, same
+    provided action stream: integer state bitwise, float state ulp-bounded
+    over a short horizon (quat <= 16 ulp, all floats allclose 1e-5)."""
+    env = drone_tpu.DroneEnv()
+    N, T = 512, 4
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (T, N, 4), jnp.float32,
+                              -1.0, 1.0)
+    state = env.init_batch(3, N)
+
+    def scan(s, a, p):
+        def body(ss, at):
+            s2, _ = jax.vmap(
+                lambda x, y: env_mod.step(x, y, p, env.statics))(ss, at)
+            return s2, None
+        return jax.lax.scan(body, s, a)[0]
+
+    ref = jax.jit(scan)(state, acts, env.params)
+    pal, _ = rollout_pallas(env.init_batch(3, N), env.params, env.statics, T,
+                            actions=acts, lanes_per_block=N)
+    # integer/uint lanes: silicon-exact
+    for f in ("step", "reset_count", "wp_count", "gate_idx", "key0", "key1"):
+        np.testing.assert_array_equal(np.asarray(getattr(pal, f)),
+                                      np.asarray(getattr(ref, f)), err_msg=f)
+    # quaternion: the Mosaic rsqrt drift, asserted not described
+    q_ulp = max(_ulp_diff(pal.quat[:, i], ref.quat[:, i]) for i in range(4))
+    assert q_ulp <= 16, f"quat drift {q_ulp} ulp exceeds bound"
+    for f in ("pos", "vel", "omega", "target", "dr_mass", "dr_thrust",
+              "ep_return"):
+        np.testing.assert_allclose(np.asarray(getattr(pal, f)),
+                                   np.asarray(getattr(ref, f)),
+                                   rtol=1e-5, atol=1e-6, err_msg=f)
+
+
+def test_acting_kernel_vs_flax_forward_on_tpu():
+    """One fused acting step vs model.apply on the chip: the kernel's
+    (W^T @ obs) policy equals flax's (obs @ W) within matmul tolerance."""
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    N = 1024  # compiled kernels need 1024-aligned lane blocks
+    state = env.init_batch(5, N)
+    obs = env.observe_batch(state)
+    mean, _, value = jax.jit(model.apply)(params, obs)
+
+    # trajectory kernel stores the pre-step obs, policy mean action
+    # (stochastic=False), and the critic value — compare step 0
+    _, traj, _ = traj_act_rollout_pallas(
+        state, params, env.params, env.statics, 8, lanes_per_block=N,
+        stochastic=False)
+    np.testing.assert_allclose(np.asarray(traj.obs[0]), np.asarray(obs),
+                               rtol=1e-6, atol=1e-7)
+    # XLA:TPU evaluates "f32" matmuls through bf16 MXU passes at default
+    # precision (and Mosaic schedules its own pass structure), so the two
+    # f32 towers agree at bf16 granularity on silicon — the exact-f32
+    # contract between kernel and mirror lives in tests/ (CPU backend)
+    np.testing.assert_allclose(np.asarray(traj.action[0]), np.asarray(mean),
+                               rtol=1e-2, atol=4e-3)
+    np.testing.assert_allclose(np.asarray(traj.value[0]), np.asarray(value),
+                               rtol=1e-2, atol=8e-3)
+
+
+def test_acting_kernel_episode_accounting_on_tpu():
+    """Compiled acting kernel over many episodes: finite stats, every lane
+    terminates, quat norm preserved."""
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    p = env.params.replace(horizon=jnp.int32(60))
+    final, stats = act_rollout_pallas(env.init_batch(2, 1024), params, p,
+                                      env.statics, 200, lanes_per_block=1024)
+    assert float(stats["episodes"]) >= 1024
+    assert np.isfinite(float(stats["reward_sum"]))
+    qn = np.asarray(jnp.sum(final.quat ** 2, axis=1))
+    np.testing.assert_allclose(qn, 1.0, atol=1e-5)
+
+
+def test_update_kernel_grads_on_tpu():
+    """Compiled update megakernel vs the jnp mirror on the chip (matmul
+    reduction orders differ between Mosaic and XLA:TPU -> tolerance)."""
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic(hidden=(16, 16))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    rows, T = 8, 16
+    state = env.init_batch(1, rows * 128)
+    _, planes, _ = PAT.traj_act_rollout_pallas_planes(
+        state, params, env.params, env.statics, T,
+        lanes_per_block=rows * 128)
+    adv = jax.random.normal(jax.random.PRNGKey(2), (rows, T, 128))
+    advret = jnp.stack([adv, planes[:, PAT.TP_VAL] + 0.5 * adv])
+    co = PU.UpdateConsts(0.2, 10.0, 0.5, 1.0 / (rows * 128 * T))
+    aw = tuple(actor_weights(params))
+    cw = tuple(critic_weights(params))
+    ls = _log_std(params)
+    perm = jnp.asarray([3, 0, 6, 1], jnp.int32)
+    gk, sk = PU.ppo_update(planes, advret, perm, aw, cw, ls, tc=8, co=co,
+                           mode="kernel")
+    gr, sr = PU.ppo_update(planes, advret, perm, aw, cw, ls, tc=8, co=co,
+                           mode="reference")
+    # bf16-pass granularity on silicon (same rationale as the flax-forward
+    # test): gradients go through 2x the matmul depth, so the bound is
+    # looser; the exact-f32 kernel-vs-mirror gate runs on the CPU backend
+    for (wk, bk), (wr, br) in zip((*gk[0], *gk[1]), (*gr[0], *gr[1])):
+        np.testing.assert_allclose(np.asarray(wk), np.asarray(wr),
+                                   rtol=5e-2, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bk), np.asarray(br),
+                                   rtol=5e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sr),
+                               rtol=5e-2, atol=1e-2)
+
+
+def test_fused_adam_on_tpu():
+    """Compiled fused clip+adam vs its mirror on the chip."""
+    model = ActorCritic(hidden=(32, 32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    from drone_tpu import ppo_pallas
+
+    tensors, _, _ = ppo_pallas._kernel_tensors(params)
+    key = jax.random.PRNGKey(4)
+    grads = [0.05 * jax.random.normal(jax.random.fold_in(key, i), t.shape)
+             for i, t in enumerate(tensors)]
+    mus = [0.1 * jnp.ones_like(t) for t in tensors]
+    nus = [0.01 * jnp.ones_like(t) for t in tensors]
+    ac = PU.AdamConsts(clip_norm=0.5)
+    outk = PU.fused_adam(grads, tensors, mus, nus, 3e-4, 7.0, ac=ac,
+                         mode="kernel")
+    outr = PU.fused_adam(grads, tensors, mus, nus, 3e-4, 7.0, ac=ac,
+                         mode="reference")
+    for lk, lr_ in zip(outk, outr):
+        for a, b in zip(lk, lr_):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_train_step_on_tpu_is_finite_and_learns_direction():
+    """Two compiled megakernel train steps on the chip: finite metrics,
+    params move, episode accounting sane."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_pallas
+
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic(hidden=(32, 32))
+    cfg = ppo_mod.PPOConfig(horizon=32, num_envs=1024, epochs=2,
+                            num_minibatches=2)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=ppo_pallas.init_fused_opt_state(runner.params))
+    step = jax.jit(ppo_pallas.make_pallas_train_step(
+        opt, env.params, env.statics, cfg, fused_optimizer=True))
+    before = jax.tree_util.tree_leaves(runner.params)
+    for _ in range(2):
+        runner, m = step(runner)
+    assert all(np.isfinite(float(v)) for v in m.values())
+    after = jax.tree_util.tree_leaves(runner.params)
+    assert max(float(jnp.abs(a - b).max()) for a, b in zip(after, before)) > 0
+    assert float(runner.opt_state[0]) == 8.0  # 2 updates * 2 epochs * 2 mb
