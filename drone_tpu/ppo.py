@@ -54,6 +54,13 @@ class PPOConfig:
     # sort plus random-index gathers, ~2.2s of a 2.5s update at 64k envs);
     # "flat" is the CleanRL-exact per-sample shuffle.
     shuffle: str = "lanes"
+    # recurrent PPO only: truncated-BPTT segment length. 0 = the full
+    # horizon (gradients flow through the whole rollout, the previous
+    # behavior); otherwise horizon % bptt_horizon == 0 and gradients stop
+    # at segment boundaries (the reference's time-chunked BPTT knob,
+    # SURVEY.md §2.2 #9) — bounding gradient depth and update memory
+    # independently of the rollout length.
+    bptt_horizon: int = 0
 
 
 @flax.struct.dataclass

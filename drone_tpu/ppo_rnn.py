@@ -7,12 +7,16 @@ segments; `[U] pufferlib/models.py` LSTMWrapper). TPU-native form:
   - The recurrent state (h, c) is an explicit pytree carried through the
     rollout `lax.scan` and zeroed per-lane on auto-reset — the reference's
     `done`-masked hidden state, branch-free.
-  - Truncated BPTT "segments" are simply the rollout horizon T: the update
-    re-runs the LSTM over the stored (T, B_mb) trajectory from the segment's
-    initial carry under `lax.scan`, so gradients flow through time within
-    the segment and stop at its boundary — exactly the reference's
-    time-chunked BPTT, with XLA unrolling/fusing the cell (SURVEY.md §5
-    "long-context" note: the scan horizon is this framework's sequence axis).
+  - Truncated BPTT segment length is `cfg.bptt_horizon` (default: the full
+    rollout horizon T): the rollout records the recurrent state at each
+    segment start, and the update re-runs the LSTM over the stored
+    trajectory from those anchors with segments FOLDED INTO THE BATCH axis
+    (one scan of length bptt over S*L sequences — `segmented_forward`), so
+    gradients flow through time within a segment and stop at its boundary —
+    exactly the reference's time-chunked BPTT knob, with gradient depth and
+    update memory bounded independently of T (SURVEY.md §2.2 #9; §5
+    "long-context" note: the scan horizon is this framework's sequence
+    axis).
   - Minibatches split the ENV axis (sequences stay whole), matching the
     CleanRL/PuffeRL recurrent convention.
 
@@ -51,6 +55,46 @@ def _mask_carry(carry, done):
     return jax.tree_util.tree_map(lambda c: c * keep, carry)
 
 
+def segmented_forward(apply_fn, params, obs, done, carry0, bptt):
+    """Truncated-BPTT re-run of the recurrent policy over stored data.
+
+    obs: (T, L, OBS_DIM); done: (T, L); carry0: pytree of (S, L, hidden)
+    recurrent states recorded at each segment start (S = T // bptt).
+    Returns (mean, log_std, value) shaped (T, L, ...).
+
+    Segments are folded into the batch axis — ONE scan of length bptt over
+    S*L sequences — so gradient depth is bptt regardless of T, and
+    gradients STOP at segment boundaries (each segment starts from stored
+    carry data, not from a param-dependent value). With bptt == T this is
+    exactly the full-horizon BPTT of the previous implementation.
+    """
+    T, L = obs.shape[0], obs.shape[1]
+    S = T // bptt
+
+    def fold(x):
+        x = x.reshape(S, bptt, *x.shape[1:])
+        x = jnp.moveaxis(x, 0, 1)                     # (bptt, S, L, ...)
+        return x.reshape(bptt, S * L, *x.shape[3:])
+
+    def unfold(x):
+        x = x.reshape(bptt, S, L, *x.shape[2:])
+        x = jnp.moveaxis(x, 0, 1)                     # (S, bptt, L, ...)
+        return x.reshape(T, L, *x.shape[3:])
+
+    c0 = jax.tree_util.tree_map(
+        lambda c: c.reshape(S * L, *c.shape[2:]), carry0)
+
+    def fwd(lstm, xs):
+        obs_t, done_t = xs
+        mean, log_std, value, lstm2 = apply_fn(params, obs_t, lstm)
+        lstm3 = _mask_carry(lstm2, done_t)
+        return lstm3, (mean, log_std, value)
+
+    _, (mean, log_std, value) = jax.lax.scan(
+        fwd, c0, (fold(obs), fold(done)))
+    return unfold(mean), unfold(log_std), unfold(value)
+
+
 def make_recurrent_train_step(
     apply_fn: Callable,
     optimizer: optax.GradientTransformation,
@@ -71,6 +115,11 @@ def make_recurrent_train_step(
         f"{cfg.num_minibatches} minibatches (recurrent PPO minibatches lanes)"
     )
     mb_lanes = local_envs // cfg.num_minibatches
+    bptt = cfg.bptt_horizon if cfg.bptt_horizon else cfg.horizon
+    assert cfg.horizon % bptt == 0, (
+        f"horizon ({cfg.horizon}) must be a multiple of bptt_horizon "
+        f"({bptt})")
+    n_seg = cfg.horizon // bptt
 
     def rollout_body(carry, key_t):
         env_state, obs, lstm, params = carry
@@ -104,19 +153,11 @@ def make_recurrent_train_step(
         done: jnp.ndarray     # (T, L) bool
         adv: jnp.ndarray      # (T, L)
         ret: jnp.ndarray      # (T, L)
-        carry0: Any           # LSTM carry at segment start, (L, hidden)
+        carry0: Any           # LSTM carries at segment starts, (S, L, hidden)
 
     def loss_fn(params, mb: MB):
-        # re-run the LSTM over the segment from its initial carry (BPTT)
-        def fwd(lstm, xs):
-            obs_t, done_t = xs
-            mean, log_std, value, lstm2 = apply_fn(params, obs_t, lstm)
-            lstm3 = _mask_carry(lstm2, done_t)
-            return lstm3, (mean, log_std, value)
-
-        _, (mean, log_std, value) = jax.lax.scan(
-            fwd, mb.carry0, (mb.obs, mb.done)
-        )
+        mean, log_std, value = segmented_forward(
+            apply_fn, params, mb.obs, mb.done, mb.carry0, bptt)
         logp = ppo_mod.gaussian_logp(mb.action, mean, log_std)
         ratio = jnp.exp(logp - mb.logp)
         pg1 = -mb.adv * ratio
@@ -141,13 +182,26 @@ def make_recurrent_train_step(
     def train_step(runner: RecurrentRunnerState):
         key, krollout, kperm = jax.random.split(runner.key, 3)
         step_keys = jax.random.split(krollout, cfg.horizon)
+        seg_keys = jax.tree_util.tree_map(
+            lambda k: k.reshape(n_seg, bptt, *k.shape[1:]), step_keys)
 
-        carry0 = runner.carry  # segment-initial recurrent state (BPTT anchor)
-        (env_state, last_obs, last_carry, _), traj = jax.lax.scan(
-            rollout_body,
-            (runner.env_state, runner.last_obs, carry0, runner.params),
-            step_keys,
-        )
+        # nested scan: the outer level records the recurrent state at each
+        # segment start (the BPTT anchors) without storing per-step carries
+        def seg_body(carry, keys_seg):
+            anchor = carry[2]
+            carry, traj_seg = jax.lax.scan(rollout_body, carry, keys_seg)
+            return carry, (traj_seg, anchor)
+
+        (env_state, last_obs, last_carry, _), (traj, seg_carries) = \
+            jax.lax.scan(
+                seg_body,
+                (runner.env_state, runner.last_obs, runner.carry,
+                 runner.params),
+                seg_keys,
+            )
+        # (S, bptt, B, ...) -> (T, B, ...)
+        traj = jax.tree_util.tree_map(
+            lambda x: x.reshape(cfg.horizon, *x.shape[2:]), traj)
 
         _, _, last_value, _ = apply_fn(runner.params, last_obs, last_carry)
         adv, ret = ppo_mod.compute_gae(
@@ -179,7 +233,8 @@ def make_recurrent_train_step(
                     done=traj.done[:, take],
                     adv=adv[:, take],
                     ret=ret[:, take],
-                    carry0=jax.tree_util.tree_map(lambda c: c[take], carry0),
+                    carry0=jax.tree_util.tree_map(
+                        lambda c: c[:, take], seg_carries),
                 )
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb

@@ -160,3 +160,97 @@ def test_bad_policy_rejected():
     cfg.run.policy = "transformer"
     with pytest.raises(ValueError):
         build(cfg)
+
+
+def test_segmented_forward_equals_full_when_bptt_is_horizon():
+    """bptt == T reproduces the unsegmented forward exactly."""
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.ppo_rnn import _mask_carry, segmented_forward
+
+    model = LSTMActorCritic(hidden=16, encoder=(16,))
+    T, L = 8, 6
+    key = jax.random.PRNGKey(0)
+    carry = model.initial_carry((L,))
+    params = model.init(key, jnp.zeros((1, 13)), model.initial_carry((1,)))
+    obs = jax.random.normal(key, (T, L, 13))
+    done = jax.random.bernoulli(jax.random.PRNGKey(1), 0.2, (T, L))
+
+    def full(lstm, xs):
+        o, d = xs
+        mean, ls, v, lstm2 = model.apply(params, o, lstm)
+        return _mask_carry(lstm2, d), (mean, ls, v)
+
+    _, (m_ref, ls_ref, v_ref) = jax.lax.scan(full, carry, (obs, done))
+    c0 = jax.tree_util.tree_map(lambda c: c[None], carry)  # (S=1, L, H)
+    m, ls, v = segmented_forward(model.apply, params, obs, done, c0, T)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+
+def test_segmented_forward_truncates_gradients():
+    """With bptt < T, d(loss over late segment)/d(obs in earlier segment)
+    is exactly zero; with full BPTT it is not."""
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.ppo_rnn import _mask_carry, segmented_forward
+
+    model = LSTMActorCritic(hidden=8, encoder=(8,))
+    T, L, bptt = 8, 4, 4
+    key = jax.random.PRNGKey(0)
+    carry = model.initial_carry((L,))
+    params = model.init(key, jnp.zeros((1, 13)), model.initial_carry((1,)))
+    obs = jax.random.normal(key, (T, L, 13))
+    done = jnp.zeros((T, L), bool)
+
+    # segment anchors from an actual rollout of the carries
+    def roll(lstm, xs):
+        o, d = xs
+        _, _, _, lstm2 = model.apply(params, o, lstm)
+        return _mask_carry(lstm2, d), lstm
+    _, carries = jax.lax.scan(roll, carry, (obs, done))
+    anchors = jax.tree_util.tree_map(
+        lambda c: c[jnp.asarray([0, bptt])], carries)  # (S=2, L, H)
+
+    def late_loss(obs_in, c0, b):
+        _, _, v = segmented_forward(model.apply, params, obs_in, done, c0, b)
+        return jnp.sum(v[bptt:])  # only the SECOND segment's values
+
+    g_trunc = jax.grad(late_loss)(obs, anchors, bptt)
+    g_full = jax.grad(late_loss)(
+        obs, jax.tree_util.tree_map(lambda c: c[:1], anchors), T)
+    early_trunc = float(jnp.abs(g_trunc[:bptt]).max())
+    early_full = float(jnp.abs(g_full[:bptt]).max())
+    assert early_trunc == 0.0, "gradient leaked across the segment boundary"
+    assert early_full > 1e-6, "full BPTT should propagate into early steps"
+
+
+def test_recurrent_training_with_bptt_horizon():
+    """The trainer runs with bptt_horizon < horizon, stays finite, and
+    matches the bptt==horizon build when the knob equals the horizon."""
+    env = drone_tpu.DroneEnv()
+    model = LSTMActorCritic(hidden=16, encoder=(16,))
+    base = dict(horizon=8, num_envs=32, epochs=2, num_minibatches=2)
+    cfgs = {
+        "full": ppo_mod.PPOConfig(**base),
+        "explicit-full": ppo_mod.PPOConfig(**base, bptt_horizon=8),
+        "trunc": ppo_mod.PPOConfig(**base, bptt_horizon=4),
+    }
+    outs = {}
+    for name, cfg in cfgs.items():
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=3)
+        step = jax.jit(ppo_rnn.make_recurrent_train_step(
+            model.apply, opt, env.params, env.statics, cfg))
+        for _ in range(2):
+            runner, m = step(runner)
+        assert np.isfinite(float(m["loss"])), name
+        outs[name] = (runner, m)
+    # bptt_horizon == horizon is exactly the default behavior
+    for (a, b) in zip(
+            jax.tree_util.tree_leaves(outs["full"][0].params),
+            jax.tree_util.tree_leaves(outs["explicit-full"][0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # truncation changes the update (same data, different gradient depth)
+    diffs = [float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(outs["full"][0].params),
+        jax.tree_util.tree_leaves(outs["trunc"][0].params))]
+    assert max(diffs) > 0
