@@ -1,17 +1,33 @@
-"""Hyperparameter sweep engine.
+"""Hyperparameter sweep engine: model-based suggestion + successive halving.
 
 Rebuild of the reference's Protein sweep (SURVEY.md §2.2 #11, §3.4:
-`[U] pufferlib/sweep.py` — suggests hyperparams from [sweep] ranges, runs a
-training, scores it, updates a model, repeats). This implementation keeps
-the same workflow with a random-search + successive-halving core (no GP —
-zero extra deps, and on TPU a short fidelity run is cheap enough to brute
-force):
+`[U] pufferlib/sweep.py` — a Pareto-aware model-based engine that suggests
+hyperparams from [sweep] ranges, runs a training, scores it, updates its
+model, repeats). Capability parity here:
+
+  - **GP-EI suggester** (`GPSuggester`): a NumPy-only Gaussian process over
+    the unit-cube encoding of the search space, suggesting the
+    expected-improvement maximizer over a candidate pool (half global
+    random, half perturbations of the incumbent). No new dependencies.
+  - **Successive halving** across fidelity rungs (updates per trial), as
+    before — the GP drives WHICH points enter rung 0, halving decides who
+    gets more budget.
+  - **Cost-aware Pareto front**: every result carries (cost = total updates
+    spent, score); `pareto_front` reports the non-dominated set, Protein's
+    cost/score tradeoff surface.
+  - **Parallel trial launcher**: `workers > 1` evaluates trials in
+    process-parallel batches (suggest a batch, run via
+    ProcessPoolExecutor, observe all). Meant for CPU-backend sweeps or
+    one-process-per-host launches — a single TPU chip serializes anyway,
+    which is why the default stays sequential.
 
   [sweep] section format (TOML):
       metric = "ep_return_mean"       # maximized
       trials = 16
       rungs = [50, 200]               # updates per fidelity rung
       keep = 0.5                      # fraction promoted per rung
+      suggester = "gp"                # "gp" | "random"
+      workers = 1
       [sweep.space]
       "train.lr" = {log = [1e-4, 1e-2]}
       "train.ent_coef" = {log = [1e-5, 1e-2]}
@@ -24,7 +40,10 @@ from __future__ import annotations
 import json
 import math
 import random
+from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
+
+import numpy as np
 
 from drone_tpu.utils.config import Config
 
@@ -50,45 +69,238 @@ def apply_point(cfg: Config, point: dict) -> Config:
     return cfg.with_overrides(overrides)
 
 
-def run_sweep(cfg: Config, out_path: str | Path | None = None,
-              train_fn=None) -> list[dict]:
-    """Random search with successive halving. Returns trial records sorted
-    best-first. train_fn(cfg) -> final metrics dict (injectable for tests)."""
+class GPSuggester:
+    """Expected-improvement suggestion over a unit-cube GP surrogate.
+
+    Encoding: log ranges -> log-linear in [0,1]; lin ranges -> linear;
+    choice -> ordinal index/(n-1) (crude for truly unordered categories,
+    fine for the numeric ladders hyperparameter sweeps actually use).
+    The GP is an RBF kernel with a fixed length scale on the unit cube and
+    an observation nugget; scores are standardized before fitting. Failed
+    trials (NaN/-inf) are kept as the current worst score so the surrogate
+    learns to avoid the region instead of resampling it.
+    """
+
+    def __init__(self, space: dict, seed: int = 0, length_scale: float = 0.3,
+                 noise: float = 1e-2, candidates: int = 256, xi: float = 0.01,
+                 n_init: int | None = None):
+        self.space = space
+        self.keys = sorted(space)
+        self.rng = random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.ls = length_scale
+        self.noise = noise
+        self.candidates = candidates
+        self.xi = xi
+        self.n_init = n_init if n_init is not None else max(4, len(self.keys))
+        self.X: list[np.ndarray] = []
+        self.y: list[float] = []
+
+    # -- encoding ------------------------------------------------------------
+    def _encode(self, point: dict) -> np.ndarray:
+        u = np.empty(len(self.keys))
+        for i, k in enumerate(self.keys):
+            spec = self.space[k]
+            v = point[k]
+            if "log" in spec:
+                lo, hi = spec["log"]
+                u[i] = (math.log(v) - math.log(lo)) / (
+                    math.log(hi) - math.log(lo))
+            elif "lin" in spec:
+                lo, hi = spec["lin"]
+                u[i] = (v - lo) / (hi - lo)
+            else:
+                opts = spec["choice"]
+                u[i] = (opts.index(v) / (len(opts) - 1)
+                        if len(opts) > 1 else 0.5)
+        return np.clip(u, 0.0, 1.0)
+
+    def _decode(self, u: np.ndarray) -> dict:
+        point = {}
+        for i, k in enumerate(self.keys):
+            spec = self.space[k]
+            x = float(np.clip(u[i], 0.0, 1.0))
+            if "log" in spec:
+                lo, hi = spec["log"]
+                v = math.exp(math.log(lo) + x * (math.log(hi) - math.log(lo)))
+                point[k] = min(hi, max(lo, v))  # exp/log roundoff at bounds
+            elif "lin" in spec:
+                lo, hi = spec["lin"]
+                point[k] = min(hi, max(lo, lo + x * (hi - lo)))
+            else:
+                opts = spec["choice"]
+                point[k] = opts[int(round(x * (len(opts) - 1)))]
+        return point
+
+    # -- surrogate -----------------------------------------------------------
+    def _kernel(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / (self.ls * self.ls))
+
+    def _fit(self):
+        X = np.stack(self.X)
+        y = np.asarray(self.y, dtype=float)
+        mu, sd = y.mean(), y.std()
+        sd = sd if sd > 1e-12 else 1.0
+        ys = (y - mu) / sd
+        K = self._kernel(X, X) + (self.noise + 1e-8) * np.eye(len(X))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, ys))
+        return X, ys, mu, sd, L, alpha
+
+    def _ei(self, U: np.ndarray, X, ys, L, alpha) -> np.ndarray:
+        Ks = self._kernel(U, X)
+        mu = Ks @ alpha
+        v = np.linalg.solve(L, Ks.T)
+        var = np.clip(1.0 - (v * v).sum(0), 1e-12, None)
+        s = np.sqrt(var)
+        best = ys.max()
+        z = (mu - best - self.xi) / s
+        Phi = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
+        phi = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+        return (mu - best - self.xi) * Phi + s * phi
+
+    # -- public API ----------------------------------------------------------
+    def suggest(self) -> dict:
+        if len(self.X) < self.n_init:
+            return sample_point(self.space, self.rng)
+        X, ys, _, _, L, alpha = self._fit()
+        n_rand = self.candidates // 2
+        U = self.np_rng.random((n_rand, len(self.keys)))
+        incumbent = X[int(np.argmax(ys))]
+        local = incumbent[None, :] + 0.1 * self.np_rng.standard_normal(
+            (self.candidates - n_rand, len(self.keys)))
+        U = np.clip(np.concatenate([U, local]), 0.0, 1.0)
+        ei = self._ei(U, X, ys, L, alpha)
+        return self._decode(U[int(np.argmax(ei))])
+
+    def observe(self, point: dict, score: float):
+        if not math.isfinite(score):
+            score = min(self.y, default=0.0) - 1.0  # learn to avoid, finitely
+        self.X.append(self._encode(point))
+        self.y.append(float(score))
+
+
+def pareto_front(results: list[dict], cost_key: str = "cost",
+                 score_key: str = "score") -> list[dict]:
+    """Non-dominated subset: no other trial has (cost <=, score >=) with at
+    least one strict. Sorted by cost ascending."""
+    front = []
+    for r in results:
+        dominated = any(
+            o is not r
+            and o[cost_key] <= r[cost_key] and o[score_key] >= r[score_key]
+            and (o[cost_key] < r[cost_key] or o[score_key] > r[score_key])
+            for o in results)
+        if not dominated:
+            front.append(r)
+    return sorted(front, key=lambda r: (r[cost_key], -r[score_key]))
+
+
+def _trial_cfg(cfg: Config, point: dict, updates: int, name: str) -> Config:
+    c = apply_point(cfg, point)
+    c.run.total_updates = int(updates)
+    c.run.run_name = name
+    c.run.checkpoint_interval = 10 ** 9
+    c.run.save_final = False
+    return c
+
+
+def _default_train_fn(cfg):
     from drone_tpu.train import train as _train
 
-    train_fn = train_fn or (lambda c: _train(c)[1])
+    return _train(cfg)[1]
+
+
+def run_sweep(cfg: Config, out_path: str | Path | None = None,
+              train_fn=None, workers: int | None = None) -> list[dict]:
+    """GP-guided (or random) search with successive halving.
+
+    Returns trial records sorted best-first; each record carries point,
+    per-rung scores, total cost (updates spent), and whether it sits on the
+    cost/score Pareto front. train_fn(cfg) -> final metrics dict
+    (injectable for tests; must be module-level picklable for workers > 1).
+    """
+    train_fn = train_fn or _default_train_fn
     sweep = dict(cfg.sweep)
     metric = sweep.get("metric", "ep_return_mean")
     trials = int(sweep.get("trials", 8))
     rungs = list(sweep.get("rungs", [50]))
     keep = float(sweep.get("keep", 0.5))
+    suggester_kind = str(sweep.get("suggester", "gp"))
+    workers = int(workers if workers is not None else sweep.get("workers", 1))
     space = sweep.get("space", {})
     if not space:
         raise ValueError("[sweep.space] is empty — nothing to search")
 
     rng = random.Random(cfg.run.seed)
-    population = [{"point": sample_point(space, rng), "scores": []}
-                  for _ in range(trials)]
+    if suggester_kind == "gp":
+        sug = GPSuggester(space, seed=cfg.run.seed)
+    elif suggester_kind == "random":
+        sug = None
+    else:
+        raise ValueError(f"sweep.suggester must be 'gp' or 'random', got "
+                         f"{suggester_kind!r}")
 
-    for rung_idx, updates in enumerate(rungs):
-        for i, trial in enumerate(population):
-            c = apply_point(cfg, trial["point"])  # with_overrides copies cfg
-            c.run.total_updates = int(updates)
-            c.run.run_name = f"{cfg.run.run_name}-sweep-r{rung_idx}-t{i}"
-            c.run.checkpoint_interval = 10**9  # no checkpoints during sweep
-            c.run.save_final = False
-            final = train_fn(c)
-            score = float(final.get(metric, float("-inf"))) if final else float("-inf")
-            if math.isnan(score):
-                score = float("-inf")  # diverged trial; NaN keys break sort
-            trial["scores"].append(score)
-            print(f"[sweep] rung {rung_idx} trial {i}: {metric}={score:.3f} "
-                  f"point={trial['point']}")
+    def score_of(final) -> float:
+        s = float(final.get(metric, float("-inf"))) if final else float("-inf")
+        return float("-inf") if math.isnan(s) else s
+
+    # -- rung 0: suggestion-driven, in parallel batches ----------------------
+    population = []
+    i = 0
+    while i < trials:
+        batch = []
+        for _ in range(min(workers, trials - i)):
+            point = sug.suggest() if sug else sample_point(space, rng)
+            batch.append(point)
+        cfgs = [_trial_cfg(cfg, p, rungs[0],
+                           f"{cfg.run.run_name}-sweep-r0-t{i + j}")
+                for j, p in enumerate(batch)]
+        if workers > 1:
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                finals = list(ex.map(train_fn, cfgs))
+        else:
+            finals = [train_fn(c) for c in cfgs]
+        for j, (point, final) in enumerate(zip(batch, finals)):
+            s = score_of(final)
+            if sug:
+                sug.observe(point, s)
+            population.append({"point": point, "scores": [s],
+                               "cost": int(rungs[0])})
+            print(f"[sweep] rung 0 trial {i + j}: {metric}={s:.3f} "
+                  f"point={point}")
+        i += len(batch)
+
+    # -- later rungs: successive halving of the survivors --------------------
+    for rung_idx, updates in enumerate(rungs[1:], start=1):
         population.sort(key=lambda t: -t["scores"][-1])
-        if rung_idx < len(rungs) - 1:
-            population = population[: max(1, int(len(population) * keep))]
+        survivors = population[: max(1, int(len(population) * keep))]
+        cfgs = [_trial_cfg(cfg, t["point"], updates,
+                           f"{cfg.run.run_name}-sweep-r{rung_idx}-t{j}")
+                for j, t in enumerate(survivors)]
+        if workers > 1:
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                finals = list(ex.map(train_fn, cfgs))
+        else:
+            finals = [train_fn(c) for c in cfgs]
+        for j, (t, final) in enumerate(zip(survivors, finals)):
+            s = score_of(final)
+            t["scores"].append(s)
+            t["cost"] += int(updates)
+            if sug:
+                sug.observe(t["point"], s)
+            print(f"[sweep] rung {rung_idx} trial {j}: {metric}={s:.3f} "
+                  f"point={t['point']}")
 
-    results = [{"point": t["point"], "scores": t["scores"]} for t in population]
+    population.sort(key=lambda t: -t["scores"][-1])
+    for t in population:
+        t["score"] = t["scores"][-1]
+    front = pareto_front(population)
+    for t in population:
+        t["pareto"] = t in front
+    results = [{k: t[k] for k in ("point", "scores", "score", "cost",
+                                  "pareto")} for t in population]
     if out_path:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         Path(out_path).write_text(json.dumps(results, indent=2))

@@ -307,11 +307,16 @@ def test_sweep_machinery():
         return {"score": -c.train.lr}
 
     results = run_sweep(cfg, train_fn=fake_train)
-    assert len(results) == 2           # halved once
-    # best (first) has the lowest lr among survivors
+    assert len(results) == 4           # every trial is recorded
+    promoted = [r for r in results if len(r["scores"]) == 2]
+    assert len(promoted) == 2          # halved once
+    # best (first) has the lowest lr overall (score = -lr, deterministic)
     lrs = [r["point"]["train.lr"] for r in results]
     assert results[0]["point"]["train.lr"] == min(lrs)
     assert len(calls) == 4 + 2         # rung0: 4 trials, rung1: 2 survivors
+    # cost bookkeeping + Pareto flags present
+    assert all(r["cost"] in (1, 3) for r in results)
+    assert any(r["pareto"] for r in results)
 
 
 def test_cli_train_eval_smoke(tmp_path):
