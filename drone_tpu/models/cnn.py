@@ -55,3 +55,33 @@ class CNNActorCritic(nn.Module):
             1, kernel_init=nn.initializers.orthogonal(1.0), name="critic_value"
         )(x)
         return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]
+
+
+class PixelActorCritic(nn.Module):
+    """13-vector obs -> on-device pixel render -> CNN actor-critic.
+
+    Makes the CNN policy a first-class trainable configuration
+    (run.policy="cnn"): the renderer (drone_tpu.pixels.obs_to_pixels) is a
+    parameterless jnp function applied inside the module, so the standard
+    trainer/evaluator see the usual apply(params, obs) signature while the
+    encoder consumes (res, res, 4) images. Defaults are sized for the
+    24x24 sensor raster (smaller kernels/strides than the Nature CNN,
+    whose 8-stride-4 front end assumes 84x84 Atari frames)."""
+
+    act_dim: int = 4
+    res: int = 24
+    channels: Sequence[int] = (16, 32)
+    kernels: Sequence[int] = (5, 3)
+    strides: Sequence[int] = (2, 2)
+    hidden: int = 128
+    log_std_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs):
+        from drone_tpu.pixels import obs_to_pixels
+
+        img = obs_to_pixels(jnp.asarray(obs, jnp.float32), self.res)
+        return CNNActorCritic(
+            act_dim=self.act_dim, channels=self.channels,
+            kernels=self.kernels, strides=self.strides, hidden=self.hidden,
+            log_std_init=self.log_std_init, name="cnn")(img)

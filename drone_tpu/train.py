@@ -54,8 +54,16 @@ def build(cfg: Config):
         model = ActorCritic(hidden=tuple(cfg.run.hidden), dtype=dtype)
         init_fn = ppo_mod.init_runner
         step_builder = ppo_mod.make_train_step
+    elif cfg.run.policy == "cnn":
+        # pixel pipeline: obs -> on-device render -> CNN (models/cnn.py);
+        # same trainer — the renderer lives inside the module
+        from drone_tpu.models import PixelActorCritic
+
+        model = PixelActorCritic()
+        init_fn = ppo_mod.init_runner
+        step_builder = ppo_mod.make_train_step
     else:
-        raise ValueError(f"run.policy must be 'mlp' or 'lstm', got "
+        raise ValueError(f"run.policy must be 'mlp', 'cnn' or 'lstm', got "
                          f"{cfg.run.policy!r}")
     opt = ppo_mod.make_optimizer(cfg.train)
     runner = init_fn(model, env, cfg.train, seed=cfg.run.seed)
