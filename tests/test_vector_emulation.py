@@ -13,6 +13,7 @@ import pytest
 
 import drone_tpu
 from drone_tpu import vector
+from drone_tpu.vector import VecDrone
 from drone_tpu.emulation import DroneGymnasium
 from tests.helpers import action_stream
 
@@ -173,3 +174,63 @@ def test_gymnasium_matches_internal_step():
         # post-(auto)reset both paths continue the same episode stream
         gobs2, _ = (np.asarray(env.env.observe(env._state)), None)
         assert np.array_equal(gobs2, np.asarray(out.obs))
+
+
+def test_partial_batch_async_matches_sync():
+    """envpool-style batch_size < num_envs: two sub-batches in flight; the
+    per-lane trajectory must be BITWISE the sync full-batch trajectory
+    (same counter-RNG streams, params traced on both sides)."""
+    n, bs, T = 8, 4, 12
+    actions = np.asarray(action_stream(T=T, seed=5), np.float32).reshape(
+        T, 1, 4).repeat(n, axis=1)
+    # per-lane action variation so lanes are distinguishable
+    for i in range(n):
+        actions[:, i] += 0.01 * i
+    actions = np.clip(actions, -1.0, 1.0)
+
+    sync = VecDrone(n, seed=9)
+    sync.reset()
+    sync_obs = []
+    for t in range(T):
+        obs, r, te, tr, _ = sync.step(actions[t])
+        sync_obs.append(obs.copy())
+
+    av = VecDrone(n, seed=9, batch_size=bs)
+    av.async_reset()
+    async_obs = {t: np.zeros((n, obs.shape[-1]), np.float32)
+                 for t in range(T)}
+    sent = {0: 0, 1: 0}   # steps dispatched per sub-batch
+    got = {0: 0, 1: 0}    # step results recorded per sub-batch
+    while got[0] < T or got[1] < T:
+        o, r, te, tr, info = av.recv()
+        ids = info["env_ids"]
+        sub = 0 if ids[0] == 0 else 1
+        if sent[sub] > 0:
+            async_obs[sent[sub] - 1][ids] = o  # result of the last send
+            got[sub] = sent[sub]
+        if sent[sub] < T:
+            av.send(actions[sent[sub]][ids])
+            sent[sub] += 1
+        else:
+            av._awaiting = None  # sub finished: nothing left to send
+    assert sent == {0: T, 1: T} and got == {0: T, 1: T}
+    for t in range(T):
+        np.testing.assert_array_equal(async_obs[t], sync_obs[t],
+                                      err_msg=f"t={t}")
+
+
+def test_partial_batch_async_interleaves_in_flight():
+    """Both sub-batches really are in flight simultaneously (queue depth 2
+    after async_reset; send/recv alternate sub ids)."""
+    av = VecDrone(8, seed=1, batch_size=4)
+    av.async_reset()
+    assert len(av._queue) == 2
+    _, _, _, _, i0 = av.recv()
+    av.send(np.zeros((4, 4), np.float32))
+    _, _, _, _, i1 = av.recv()
+    av.send(np.zeros((4, 4), np.float32))
+    assert set(i0["env_ids"]) != set(i1["env_ids"])
+    assert len(av._queue) == 2  # two step results pending again
+    # sync API is refused in partial mode
+    with pytest.raises(RuntimeError):
+        av.reset()
