@@ -90,12 +90,21 @@ def main(argv=None):
         )
         raw, _ = ckpt.restore_raw()
         export_flat_weights(raw["params"], args.out, hidden=tuple(cfg.run.hidden))
-        # also dump the env params struct for the C demo (native/demo.c)
+        # also dump the env params struct for the C demo (native/demo.c),
+        # behind a versioned header (magic, version, struct size) so a
+        # stale dump can never be silently reinterpreted if DroneParams
+        # ever grows
+        import ctypes
+        import struct
+
         from oracle.oracle import params_to_c
 
         statics, env_params = cfg.env.build()
+        cstruct = params_to_c(env_params)
         with open(args.out + ".params", "wb") as f:
-            f.write(bytes(params_to_c(env_params)))
+            f.write(struct.pack("<III", 0x44524E50, 1,
+                                ctypes.sizeof(cstruct)))
+            f.write(bytes(cstruct))
         print(f"wrote {args.out} and {args.out}.params")
     return 0
 

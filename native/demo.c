@@ -6,9 +6,15 @@
  * trajectory dump consumed by viz/viewer.py (raylib is not in this image;
  * the renderer is not on the perf path, SURVEY.md §2.3).
  *
- * Usage: drone_demo <policy.drnw> [params.bin] [episodes] [task] [seed]
- *   task: 0=hover 1=waypoint 2=racing
- *   Writes trajectory of episode 0 to trajectory.csv (t,x,y,z,tx,ty,tz).
+ * Usage: drone_demo <policy.drnw> [params.bin] [episodes] [task] [seed] [integrator]
+ *   task: 0=hover 1=waypoint 2=racing; integrator: 0=euler 1=rk4
+ *   params.bin: "-" for defaults, else the versioned dump written by
+ *   `drone_tpu.cli export` (magic 'DRNP', version, struct size, struct —
+ *   a raw struct with no header is rejected, so a stale or mis-built
+ *   params file can never be silently reinterpreted).
+ *   Writes trajectory of episode 0 to trajectory.csv
+ *   (t,x,y,z,tx,ty,tz,reward,done,a0..a3 — actions at full precision for
+ *   the C-vs-Python bounded-horizon agreement test).
  */
 
 #include <stdio.h>
@@ -46,7 +52,8 @@ static DroneParams default_params(void) {
 
 int main(int argc, char **argv) {
   if (argc < 2) {
-    fprintf(stderr, "usage: %s <policy.drnw> [params.bin] [episodes] [task] [seed]\n",
+    fprintf(stderr,
+            "usage: %s <policy.drnw> [params.bin] [episodes] [task] [seed] [integrator]\n",
             argv[0]);
     return 2;
   }
@@ -65,8 +72,29 @@ int main(int argc, char **argv) {
   DroneParams p = default_params();
   if (argc > 2 && strcmp(argv[2], "-") != 0) {
     FILE *f = fopen(argv[2], "rb");
-    if (!f || fread(&p, sizeof(p), 1, f) != 1) {
+    uint32_t hdr[3]; /* magic 'DRNP', version, sizeof(DroneParams) */
+    if (!f || fread(hdr, sizeof(hdr), 1, f) != 1) {
       fprintf(stderr, "failed to load params %s\n", argv[2]);
+      return 1;
+    }
+    if (hdr[0] != 0x44524E50u) {
+      fprintf(stderr, "%s: bad magic 0x%08x (not a drone params dump; "
+              "re-export with `drone_tpu.cli export`)\n", argv[2], hdr[0]);
+      return 1;
+    }
+    if (hdr[1] != 1u) {
+      fprintf(stderr, "%s: unsupported params version %u (binary knows 1)\n",
+              argv[2], hdr[1]);
+      return 1;
+    }
+    if (hdr[2] != (uint32_t)sizeof(DroneParams)) {
+      fprintf(stderr, "%s: struct size %u != compiled DroneParams %zu — "
+              "params file and binary are out of sync\n",
+              argv[2], hdr[2], sizeof(DroneParams));
+      return 1;
+    }
+    if (fread(&p, sizeof(p), 1, f) != 1) {
+      fprintf(stderr, "failed to read params payload %s\n", argv[2]);
       return 1;
     }
     fclose(f);
@@ -74,6 +102,7 @@ int main(int argc, char **argv) {
   int episodes = argc > 3 ? atoi(argv[3]) : 8;
   int task = argc > 4 ? atoi(argv[4]) : 0;
   uint32_t seed = argc > 5 ? (uint32_t)strtoul(argv[5], NULL, 10) : 42u;
+  int integrator = argc > 6 ? atoi(argv[6]) : 0; /* 0=euler 1=rk4 */
 
   float *scratch = malloc((size_t)dronenet_scratch_size(&net) * 4);
   float *state = net.state_size ? malloc((size_t)net.state_size * 4) : NULL;
@@ -88,7 +117,8 @@ int main(int argc, char **argv) {
   /* done=1 rows hold the NEXT episode's spawn state (the step auto-resets),
    * so the viewer starts a fresh trail segment there instead of drawing a
    * teleport from the crash site back to the spawn point. */
-  if (traj) fprintf(traj, "t,x,y,z,tx,ty,tz,reward,done\n");
+  if (traj)
+    fprintf(traj, "t,x,y,z,tx,ty,tz,reward,done,a0,a1,a2,a3\n");
 
   float obs[13], action[4], reward, ep_return;
   int32_t term, trunc, ep_length;
@@ -98,12 +128,14 @@ int main(int argc, char **argv) {
   long t = 0;
   while (done_eps < episodes) {
     dronenet_forward(&net, obs, action, scratch, state);
-    drone_step_keyed(fs, is, action, &p, key[0], key[1], task, 0, obs, &reward,
-                     &term, &trunc, &ep_return, &ep_length);
+    drone_step_keyed(fs, is, action, &p, key[0], key[1], task, integrator,
+                     obs, &reward, &term, &trunc, &ep_return, &ep_length);
     if (traj && done_eps == 0)
-      fprintf(traj, "%ld,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%d\n", t, fs[0],
-              fs[1], fs[2], fs[13], fs[14], fs[15], reward,
-              (term || trunc) ? 1 : 0);
+      fprintf(traj,
+              "%ld,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%.4f,%d,%.8e,%.8e,%.8e,%.8e\n",
+              t, fs[0], fs[1], fs[2], fs[13], fs[14], fs[15], reward,
+              (term || trunc) ? 1 : 0, action[0], action[1], action[2],
+              action[3]);
     if (term || trunc) {
       printf("episode %d: return %.2f length %d %s\n", done_eps, ep_return,
              ep_length, term ? "(crash)" : "(horizon)");

@@ -220,9 +220,15 @@ def test_native_inference_matches_flax(tmp_path, demo_binary):
 
 
 def test_native_demo_python_cross_check(tmp_path, demo_binary):
-    """The C demo's episode returns must match a Python rollout of the same
-    policy through the oracle env (same seed/lane): proves the exported
-    weights + C forward pass reproduce the policy."""
+    """C demo vs Python rollout of the same policy through the oracle env
+    (same seed/lane). Two tiers:
+
+    1. bounded-horizon ACTION agreement: the demo dumps its per-step
+       actions into trajectory.csv; the first K steps must match the flax
+       policy replayed through the oracle to 1e-5 — this pins the exported
+       weights + C forward pass hard, before chaotic divergence.
+    2. whole-episode return: loose (tanhf vs XLA tanh ulps compound
+       chaotically over hundreds of steps)."""
     from oracle import Oracle
 
     model = ActorCritic(hidden=(16, 16))
@@ -235,20 +241,84 @@ def test_native_demo_python_cross_check(tmp_path, demo_binary):
     line = [l for l in r.stdout.splitlines() if l.startswith("episode 0")][0]
     c_return = float(line.split("return ")[1].split(" ")[0])
 
+    import csv
+
+    with open(tmp_path / "trajectory.csv") as f:
+        rows = list(csv.DictReader(f))
+    c_actions = np.asarray(
+        [[float(row[f"a{k}"]) for k in range(4)] for row in rows],
+        np.float32)
+
     env = drone_tpu.DroneEnv()
     o = Oracle(env.params)
     fs, ist, keys = o.reset(11, 0)
     obs = o.observe(fs)
     ep_ret = 0.0
+    py_actions = []
     for _ in range(2000):
         mean, _, _ = model.apply(params, jnp.asarray(obs[None]))
+        py_actions.append(np.asarray(mean[0]))
         obs, rew, term, trunc, epret, eplen = o.step(fs, ist, np.asarray(mean[0]), keys)
         if term or trunc:
             ep_ret = epret
             break
+    py_actions = np.stack(py_actions)
+
+    K = min(20, len(c_actions), len(py_actions))
+    assert K >= 10  # the comparison window must really exist
+    np.testing.assert_allclose(c_actions[:K], py_actions[:K],
+                               rtol=1e-5, atol=1e-5)
     # tanhf (C) vs XLA tanh differ in ulps, trajectories can diverge
-    # chaotically; compare loosely and require same order of magnitude
+    # chaotically; whole-episode return compares loosely
     assert abs(c_return - ep_ret) / (abs(ep_ret) + 1.0) < 0.5, (c_return, ep_ret)
+
+
+def test_native_demo_params_header_and_integrator(tmp_path, demo_binary):
+    """The params file is version-guarded (bad magic / size rejected) and
+    the integrator CLI argument changes the physics."""
+    import ctypes
+    import struct
+
+    from oracle.oracle import params_to_c
+
+    model = ActorCritic(hidden=(16, 16))
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 13)))
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path), hidden=(16, 16))
+
+    env = drone_tpu.DroneEnv()
+    cstruct = params_to_c(env.params)
+    good = tmp_path / "p.params"
+    good.write_bytes(struct.pack("<III", 0x44524E50, 1,
+                                 ctypes.sizeof(cstruct)) + bytes(cstruct))
+    run = lambda *extra: subprocess.run(
+        [str(demo_binary), str(path), *extra], capture_output=True,
+        text=True, cwd=tmp_path)
+
+    ok = run(str(good), "1", "0", "11")
+    assert ok.returncode == 0, ok.stderr
+
+    # raw struct without the header -> rejected, not misread
+    bad = tmp_path / "raw.params"
+    bad.write_bytes(bytes(cstruct))
+    r = run(str(bad), "1", "0", "11")
+    assert r.returncode != 0 and "bad magic" in r.stderr
+
+    # size mismatch -> rejected
+    short = tmp_path / "short.params"
+    short.write_bytes(struct.pack("<III", 0x44524E50, 1, 4) + b"\x00" * 4)
+    r = run(str(short), "1", "0", "11")
+    assert r.returncode != 0 and "out of sync" in r.stderr
+
+    # euler vs rk4 produce different (both finite) trajectories
+    outs = {}
+    for integ in ("0", "1"):
+        r = run(str(good), "1", "0", "11", integ)
+        assert r.returncode == 0, r.stderr
+        line = [l for l in r.stdout.splitlines()
+                if l.startswith("episode 0")][0]
+        outs[integ] = float(line.split("return ")[1].split(" ")[0])
+    assert outs["0"] != outs["1"]
 
 
 def test_metrics_jsonl(tmp_path):
