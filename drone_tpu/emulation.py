@@ -123,3 +123,85 @@ class DroneGymnasium(_EnvBase):
 
 def make_gymnasium(task: str = "hover", **kwargs) -> DroneGymnasium:
     return DroneGymnasium(task=task, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized gymnasium adapter (SB3-style consumers).
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover
+    from gymnasium.vector import VectorEnv as _VectorEnvBase
+    from gymnasium.vector.utils import batch_space as _batch_space
+except ImportError:  # pragma: no cover
+    _VectorEnvBase = object
+    _batch_space = None
+
+
+class DroneVectorGymnasium(_VectorEnvBase):
+    """`gymnasium.vector.VectorEnv` over the fused vmapped JAX step.
+
+    SAME_STEP autoreset semantics (the env's native convention): on a done
+    step the returned observation is the NEW episode's first obs, and the
+    terminal observation is delivered through infos as both "final_obs"
+    (gymnasium >= 1.0 naming) and "final_observation" (SB3/0.29 naming),
+    masked by infos["_final_obs"]. The whole batch is one jitted
+    vmap(step_terminal) — no worker processes, params traced.
+    """
+
+    metadata = {"autoreset_mode": "SameStep"}
+
+    def __init__(self, num_envs: int, task: str = "hover",
+                 integrator: str = "euler", params: EnvParams | None = None,
+                 seed: int = 0):
+        from drone_tpu.env import DroneEnv
+
+        self.env = DroneEnv(task=task, integrator=integrator, params=params)
+        self.num_envs = int(num_envs)
+        self._seed = seed
+        self.single_observation_space = spaces.observation_space()
+        self.single_action_space = spaces.action_space()
+        if _batch_space is not None:
+            self.observation_space = _batch_space(
+                self.single_observation_space, self.num_envs)
+            self.action_space = _batch_space(
+                self.single_action_space, self.num_envs)
+        statics = self.env.statics
+        self._step_fn = jax.jit(
+            lambda s, a, p: jax.vmap(
+                lambda ss, aa: env_mod.step_terminal(ss, aa, p, statics)
+            )(s, a))
+        self._state = None
+
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        if seed is not None:
+            self._seed = seed
+        self._state = self.env.init_batch(self._seed, self.num_envs)
+        return np.asarray(self.env.observe_batch(self._state)), {}
+
+    def step(self, actions):
+        actions = np.asarray(actions, np.float32).reshape(self.num_envs,
+                                                          ACT_DIM)
+        state, out, terminal_obs = self._step_fn(self._state, actions,
+                                                 self.env.params)
+        self._state = state
+        host = jax.device_get((out, terminal_obs))
+        out, terminal_obs = host
+        done = out.terminated | out.truncated
+        infos = {}
+        if done.any():
+            final = np.where(done[:, None], terminal_obs, np.nan)
+            infos["final_obs"] = final
+            infos["final_observation"] = final
+            infos["_final_obs"] = done.copy()
+            infos["episode_return"] = out.ep_return[done]
+            infos["episode_length"] = out.ep_length[done]
+        return (np.asarray(out.obs), np.asarray(out.reward),
+                np.asarray(out.terminated), np.asarray(out.truncated), infos)
+
+    def close(self, **kwargs):
+        self._state = None
+
+
+def make_vector(num_envs: int, task: str = "hover",
+                **kwargs) -> DroneVectorGymnasium:
+    return DroneVectorGymnasium(num_envs, task=task, **kwargs)

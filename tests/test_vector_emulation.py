@@ -234,3 +234,69 @@ def test_partial_batch_async_interleaves_in_flight():
     # sync API is refused in partial mode
     with pytest.raises(RuntimeError):
         av.reset()
+
+
+# --- gymnasium vector adapter + PettingZoo swarm -----------------------------
+
+def test_gymnasium_vector_adapter_sb3_style():
+    """SB3-style consumption: batched spaces, vector reset/step, SAME_STEP
+    autoreset with final_observation surfaced through infos."""
+    gym = pytest.importorskip("gymnasium")
+    from drone_tpu.emulation import DroneVectorGymnasium
+
+    n = 6
+    venv = DroneVectorGymnasium(n, task="hover")
+    assert isinstance(venv, gym.vector.VectorEnv)
+    assert venv.observation_space.shape == (n, 13)
+    assert venv.action_space.shape == (n, 4)
+    obs, infos = venv.reset(seed=2)
+    assert obs.shape == (n, 13)
+
+    # the generic SB3-ish loop: sample, step, track episode stats
+    ep_seen = 0
+    full_drop = np.full((n, 4), -1.0, np.float32)
+    for t in range(400):
+        obs, rew, term, trunc, infos = venv.step(full_drop)
+        assert obs.shape == (n, 13) and rew.shape == (n,)
+        done = term | trunc
+        if done.any():
+            assert "final_observation" in infos and "final_obs" in infos
+            mask = infos["_final_obs"]
+            np.testing.assert_array_equal(mask, done)
+            # terminal obs is finite where done, and differs from the
+            # auto-reset obs the main return carries
+            fo = infos["final_observation"]
+            assert np.isfinite(fo[done]).all()
+            assert not np.array_equal(fo[done], obs[done])
+            ep_seen += int(done.sum())
+    assert ep_seen >= n  # every drone crashed at least once
+    venv.close()
+
+
+def test_pettingzoo_swarm_parallel_contract():
+    pz = pytest.importorskip("pettingzoo")
+    from drone_tpu.multiagent import DroneSwarmParallel
+
+    env = DroneSwarmParallel(n_drones=3, task="hover")
+    assert isinstance(env, pz.ParallelEnv)
+    obs, infos = env.reset(seed=1)
+    assert set(obs) == {"drone_0", "drone_1", "drone_2"}
+    assert env.agents == env.possible_agents
+    assert env.observation_space("drone_0").shape == (13,)
+
+    # drop until agents start terminating; finished agents leave the roster
+    t = 0
+    while env.agents and t < 400:
+        acts = {a: np.full(4, -1.0, np.float32) for a in env.agents}
+        obs, rew, term, trunc, infos = env.step(acts)
+        assert set(obs) >= set(env.agents)
+        for a, done in term.items():
+            if done or trunc[a]:
+                assert a not in env.agents
+                assert "episode" in infos[a]
+                assert infos[a]["episode"]["l"] >= 1
+        t += 1
+    assert not env.agents  # the whole swarm eventually crashed
+    # reset restores the full roster
+    obs, _ = env.reset()
+    assert env.agents == env.possible_agents and len(obs) == 3
