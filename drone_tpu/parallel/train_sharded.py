@@ -32,6 +32,9 @@ def make_sharded_train_step(
     axis: str = "data",
     example_runner=None,
     recurrent: bool = False,
+    trainer: str = "scan",
+    interpret: bool = False,
+    fused_optimizer: bool = True,
 ):
     """Returns jitted train_step(runner) -> (runner, metrics) over `mesh`.
 
@@ -44,13 +47,31 @@ def make_sharded_train_step(
     With recurrent=True, apply_fn is the LSTM signature
     (params, obs, carry) -> (mean, log_std, value, carry') and the runner is
     a ppo_rnn.RecurrentRunnerState (carry sharded on `axis` like env_state).
+
+    trainer="pallas" shards the MEGAKERNEL trainer (ppo_pallas): each
+    device runs the rollout/update kernels on its lane shard, gradients
+    pmean over the mesh axis per SGD step, per-device minibatch
+    permutations (valid DP: averaged grads over per-device random subsets,
+    like DDP with per-worker samplers). runner.opt_state must be the fused
+    adam state when fused_optimizer=True (ppo_pallas.init_fused_opt_state);
+    interpret routes the kernels through the Pallas interpreter (CPU/
+    virtual-device testing).
     """
     n_dev = mesh.devices.size
     assert cfg.num_envs % n_dev == 0, (
         f"num_envs ({cfg.num_envs}) must divide the mesh size ({n_dev})"
     )
     per_dev = cfg.num_envs // n_dev
-    if recurrent:
+    if trainer == "pallas":
+        assert not recurrent, "the megakernel trainer is MLP-only"
+        from drone_tpu import ppo_pallas
+
+        inner = ppo_pallas.make_pallas_train_step(
+            optimizer, env_params, statics, cfg, axis_name=axis,
+            envs_per_device=per_dev, interpret=interpret,
+            fused_optimizer=fused_optimizer,
+        )
+    elif recurrent:
         from drone_tpu import ppo_rnn
 
         inner = ppo_rnn.make_recurrent_train_step(

@@ -77,10 +77,14 @@ def build(cfg: Config):
         # compiled kernels need 1024-aligned lane blocks (Mosaic reshape
         # rule); interpret mode on CPU accepts any 128-multiple
         eligible = eligible and cfg.train.num_envs % 1024 == 0
+    if cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0:
+        # per-device lane shard must satisfy the trainer's shape rules
+        eligible = eligible and (cfg.train.num_envs // n_dev) % (
+            128 * cfg.train.num_minibatches) == 0
     if cfg.run.rollout == "auto":
         # megakernel trainer on real TPU silicon when the batch shape
         # allows; the scan trainer everywhere else
-        use_pallas = eligible and backend in ("tpu", "axon") and n_dev == 1
+        use_pallas = eligible and backend in ("tpu", "axon")
     elif cfg.run.rollout == "pallas":
         if not eligible:
             raise ValueError(
@@ -96,11 +100,18 @@ def build(cfg: Config):
                          f"got {cfg.run.rollout!r}")
 
     if cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0:
+        from drone_tpu import ppo_pallas
+
         mesh = make_mesh()
+        if use_pallas:
+            runner = runner.replace(
+                opt_state=ppo_pallas.init_fused_opt_state(runner.params))
         runner = place_runner(mesh, runner)
         step = make_sharded_train_step(
             model.apply, opt, env.params, env.statics, cfg.train, mesh,
             example_runner=runner, recurrent=recurrent,
+            trainer="pallas" if use_pallas else "scan",
+            interpret=backend == "cpu",
         )
     elif use_pallas:
         from drone_tpu import ppo_pallas
