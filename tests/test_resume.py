@@ -8,6 +8,9 @@ train(6) bitwise. This is the framework's whole failure-recovery story
 import numpy as np
 import jax
 
+import drone_tpu
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.models import ActorCritic
 from drone_tpu.train import train
 from drone_tpu.utils.config import Config
 
@@ -48,4 +51,46 @@ def test_resume_is_bitwise_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree_util.tree_leaves(runner_a.env_state),
                     jax.tree_util.tree_leaves(runner_b.env_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_megakernel_trainer_bitwise(tmp_path):
+    """train(2)+resume(2) == train(4) through the megakernel trainer
+    (reference mode on CPU): the fused adam state (count, mu, nu) must
+    round-trip orbax exactly like the optax state does."""
+    from drone_tpu import ppo_pallas
+    from drone_tpu.utils.checkpoint import Checkpointer
+
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic(hidden=(16, 16))
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=256, epochs=1,
+                            num_minibatches=2)
+    opt = ppo_mod.make_optimizer(cfg)
+
+    def fresh():
+        r = ppo_mod.init_runner(model, env, cfg, seed=4)
+        return r.replace(opt_state=ppo_pallas.init_fused_opt_state(r.params))
+
+    step = jax.jit(ppo_pallas.make_pallas_train_step(
+        opt, env.params, env.statics, cfg, mode="reference",
+        fused_optimizer=True))
+
+    ra = fresh()
+    for _ in range(4):
+        ra, _ = step(ra)
+
+    rb = fresh()
+    for _ in range(2):
+        rb, _ = step(rb)
+    ck = Checkpointer(tmp_path / "ck")
+    ck.save(2, rb)
+    ck.wait()
+    restored, start = ck.restore(fresh())
+    assert start == 2
+    assert float(restored.opt_state[0]) == float(rb.opt_state[0])
+    for _ in range(2):
+        restored, _ = step(restored)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ra),
+                    jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
