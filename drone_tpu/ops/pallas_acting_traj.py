@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -314,10 +314,12 @@ def pack_traj_planes(traj: Traj, rows: int) -> jnp.ndarray:
     return flat.reshape(T, N_TRAJ, rows, 128).transpose(2, 1, 0, 3)
 
 
-def pick_time_chunk(T: int, cap: int = 8) -> int:
+def pick_time_chunk(T: int, cap: int = 16) -> int:
     """Largest divisor of T that is <= cap AND legal as a Mosaic trailing
     block dim (multiple of 8, or the whole of T). The trajectory VMEM block
-    holds time_chunk * N_TRAJ * lanes_per_block floats, double-buffered."""
+    holds time_chunk * N_TRAJ * lanes_per_block floats, double-buffered
+    (4096 lanes x tc=16 = 5.5 MB x2 — measured 20 ms/rollout faster than
+    tc=8 at 64k lanes; 8192-lane blocks fail to compile at these sizes)."""
     best = None
     for k in range(1, min(cap, T) + 1):
         if T % k == 0 and (k % 8 == 0 or k == T):

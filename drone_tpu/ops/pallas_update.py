@@ -46,7 +46,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from drone_tpu.ops import pallas_acting_traj as PAT
 from drone_tpu.ops.pallas_acting_traj import (
     N_TRAJ,
     _dot32,
