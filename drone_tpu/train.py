@@ -196,11 +196,18 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
 
     env, model, opt, fresh, step, mesh = build(cfg)
     if runner is None:
+        # restore RAW and take only the policy params: eval never needs the
+        # env/optimizer state, and a full-runner restore would force the
+        # eval config's num_envs (and trainer kind) to match the training
+        # run's — e.g. a checkpoint trained with train.num_envs=8192 must
+        # still evaluate under a config whose default is 65536
         restorer = Checkpointer(Path(cfg.run.checkpoint_dir) / cfg.run.run_name
                                 / "checkpoints")
-        runner, _ = restorer.restore(fresh)
-
-    params = runner.params
+        raw, _ = restorer.restore_raw()
+        params = jax.tree_util.tree_map(
+            jnp.asarray, raw["params"])
+    else:
+        params = runner.params
     n = episodes
     state = env.init_batch(cfg.run.seed + 1, n)
     horizon = int(env.params.horizon) + 1
