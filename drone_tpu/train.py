@@ -155,13 +155,28 @@ def train(cfg: Config, on_update=None):
     last = None
     t_last = time.time()
     u_last = start_update
+    profiling = False
     for u in range(start_update, cfg.run.total_updates):
+        if cfg.run.profile_dir and u == start_update + 2 and not profiling:
+            # trace a few warmed-up updates (past compilation) into XProf
+            jax.profiler.start_trace(
+                str(Path(cfg.run.profile_dir) / "trace"))
+            profiling = True
         runner, m = step(runner)
+        if profiling and u >= start_update + 4:
+            float(m["loss"])  # drain the queue before closing the trace
+            jax.profiler.stop_trace()
+            profiling = False
         if (u + 1) % cfg.run.log_interval == 0 or u == cfg.run.total_updates - 1:
             # value fetch, not block_until_ready: on the tunneled TPU in this
             # image block_until_ready can return before compute finishes
             # (see bench.py TIMING NOTE), which would inflate SPS
-            float(m["loss"])
+            loss_val = float(m["loss"])
+            if loss_val != loss_val:  # NaN: stop burning the fleet
+                raise RuntimeError(
+                    f"training diverged: loss is NaN at update {u + 1} "
+                    f"(last checkpoint in {run_dir}/checkpoints; resume with "
+                    f"a lower train.lr or tighter train.max_grad_norm)")
             now = time.time()
             # count the updates actually elapsed since the last log — the
             # final log can fire mid-interval
@@ -179,6 +194,8 @@ def train(cfg: Config, on_update=None):
                 on_update(u + 1, rec)
         if (u + 1) % cfg.run.checkpoint_interval == 0:
             ckpt.save(u + 1, runner)
+    if profiling:  # run too short to hit the stop point
+        jax.profiler.stop_trace()
     if cfg.run.save_final:
         ckpt.save(cfg.run.total_updates, runner)
     ckpt.wait()

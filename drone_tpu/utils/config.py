@@ -50,6 +50,9 @@ class RunConfig:
     #              on one v5e); needs num_envs % (128*num_minibatches) == 0
     #   "auto"   — "pallas" when eligible on a TPU backend, else "scan"
     rollout: str = "auto"
+    # capture a jax.profiler device trace of a few warmed-up updates into
+    # <dir>/trace (viewable in TensorBoard/XProf); "" disables
+    profile_dir: str = ""
 
 
 @dataclasses.dataclass

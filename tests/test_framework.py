@@ -419,3 +419,53 @@ def test_cli_train_eval_smoke(tmp_path):
     r = run("export", *common, "--out", out)
     assert r.returncode == 0, r.stderr[-2000:]
     assert Path(out).exists() and Path(out + ".params").exists()
+
+
+def test_train_profile_dir_writes_trace(tmp_path):
+    """run.profile_dir captures an XProf trace of warmed-up updates."""
+    cfg = Config.default().with_overrides([
+        "train.num_envs=32", "train.horizon=4", "train.epochs=1",
+        "train.num_minibatches=1", "run.mesh=false", "run.total_updates=6",
+        "run.log_interval=10", "run.checkpoint_interval=100",
+        "run.save_final=false",
+    ])
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.run.hidden = (8,)
+    cfg.run.profile_dir = str(tmp_path / "prof")
+    from drone_tpu.train import train
+
+    train(cfg)
+    trace_dir = tmp_path / "prof" / "trace"
+    assert trace_dir.exists()
+    assert any(trace_dir.rglob("*"))  # xplane/trace artifacts written
+
+
+def test_train_aborts_on_nan_loss(tmp_path, monkeypatch):
+    """Divergence detection: a NaN loss raises instead of silently burning
+    the rest of the run."""
+    import drone_tpu.train as train_mod
+
+    cfg = Config.default().with_overrides([
+        "train.num_envs=16", "train.horizon=4", "train.epochs=1",
+        "train.num_minibatches=1", "run.mesh=false", "run.total_updates=3",
+        "run.log_interval=1", "run.checkpoint_interval=100",
+        "run.save_final=false",
+    ])
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.run.hidden = (8,)
+    real_build = train_mod.build
+
+    def poisoned_build(c):
+        env, model, opt, runner, step, mesh = real_build(c)
+
+        def bad_step(r):
+            r2, m = step(r)
+            m = dict(m)
+            m["loss"] = jnp.float32(float("nan"))
+            return r2, m
+
+        return env, model, opt, runner, bad_step, mesh
+
+    monkeypatch.setattr(train_mod, "build", poisoned_build)
+    with pytest.raises(RuntimeError, match="diverged"):
+        train_mod.train(cfg)
