@@ -196,3 +196,31 @@ def test_traj_rollout_chained_calls_consume_fresh_noise():
     np.testing.assert_array_equal(
         np.asarray(pack_fstate_batch(fin)).view(np.uint32),
         np.asarray(pack_fstate_batch(full)).view(np.uint32))
+
+
+def test_chunk_pickers_mosaic_legality():
+    """Both chunk pickers return divisors that are Mosaic-legal trailing
+    block dims (multiple of 8, or the whole horizon)."""
+    from drone_tpu.ops.pallas_acting_traj import pick_time_chunk
+    from drone_tpu.ops.pallas_update import pick_update_chunk
+
+    for picker, cap in ((pick_time_chunk, 16), (pick_update_chunk, 16)):
+        for T in (4, 8, 12, 16, 20, 24, 32, 64, 128, 100):
+            tc = picker(T)
+            assert T % tc == 0, (picker.__name__, T, tc)
+            assert tc % 8 == 0 or tc == T, (picker.__name__, T, tc)
+            assert tc <= max(cap, T)
+    assert pick_time_chunk(128) == 16
+    assert pick_update_chunk(128) == 16
+    assert pick_time_chunk(12) == 12   # no 8-multiple divisor <= cap
+    assert pick_time_chunk(24) == 8
+
+
+def test_lane_block_picker_prefers_1024():
+    from drone_tpu.ops.pallas_rollout import pick_lanes_per_block
+
+    assert pick_lanes_per_block(65536) == 8192
+    assert pick_lanes_per_block(4096) == 4096
+    assert pick_lanes_per_block(1024 * 5, 4096) == 1024  # 5120: 1024 | it
+    assert pick_lanes_per_block(8320, 8192) == 1664      # no 1024-divisor
+    assert pick_lanes_per_block(256, 8192) == 256        # interpret-only
