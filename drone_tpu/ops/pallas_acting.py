@@ -187,6 +187,12 @@ def act_rollout_pallas(state: EnvState, policy_params, env_params: EnvParams,
     """
     n = state.pos.shape[0]
     lanes_per_block = PR.pick_lanes_per_block(n, lanes_per_block)
+    if not interpret and lanes_per_block % 1024:
+        raise ValueError(
+            f"compiled policy kernels need 1024-aligned lane blocks "
+            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
+            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
+            f"interpret=True for small CPU runs.")
     weights = actor_weights(policy_params)
     p = policy_params["params"] if "params" in policy_params else policy_params
     std = jnp.exp(jnp.asarray(p["log_std"], jnp.float32)).reshape(1, 4)

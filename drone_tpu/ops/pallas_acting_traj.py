@@ -365,6 +365,12 @@ def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
     leaves plane space."""
     n = state.pos.shape[0]
     lanes_per_block = PR.pick_lanes_per_block(n, lanes_per_block)
+    if not interpret and lanes_per_block % 1024:
+        raise ValueError(
+            f"compiled policy kernels need 1024-aligned lane blocks "
+            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
+            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
+            f"interpret=True for small CPU runs.")
     tc = time_chunk if time_chunk is not None else pick_time_chunk(T)
     assert T % tc == 0, (T, tc)
     actor_w = tuple(actor_weights(policy_params))
