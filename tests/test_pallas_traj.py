@@ -224,3 +224,21 @@ def test_lane_block_picker_prefers_1024():
     assert pick_lanes_per_block(1024 * 5, 4096) == 1024  # 5120: 1024 | it
     assert pick_lanes_per_block(8320, 8192) == 1664      # no 1024-divisor
     assert pick_lanes_per_block(256, 8192) == 256        # interpret-only
+
+
+def test_compiled_lane_alignment_guard():
+    """Misaligned lane blocks raise a descriptive error BEFORE Mosaic
+    compilation when interpret=False (the guard precedes any device work,
+    so it is testable on CPU)."""
+    import pytest
+
+    env, model, params = _setup(hidden=(16,))
+    state = env.init_batch(0, 256)  # 2 rows: fine interpreted, not compiled
+    with pytest.raises(ValueError, match="1024-aligned"):
+        traj_act_rollout_pallas(state, params, env.params, env.statics, 8,
+                                lanes_per_block=256, interpret=False)
+    from drone_tpu.ops import act_rollout_pallas
+
+    with pytest.raises(ValueError, match="1024-aligned"):
+        act_rollout_pallas(state, params, env.params, env.statics, 8,
+                           lanes_per_block=256, interpret=False)

@@ -220,3 +220,28 @@ def test_train_step_on_tpu_is_finite_and_learns_direction():
     after = jax.tree_util.tree_leaves(runner.params)
     assert max(float(jnp.abs(a - b).max()) for a, b in zip(after, before)) > 0
     assert float(runner.opt_state[0]) == 8.0  # 2 updates * 2 epochs * 2 mb
+
+
+def test_traj_chained_calls_on_tpu():
+    """Compiled trajectory kernel: two chained T-step calls equal one
+    2T-step call on silicon (the episode-step-keyed noise stream continues
+    across kernel launches) — float tolerance per the silicon doctrine,
+    integer state exact."""
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic(hidden=(16,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    N, T = 1024, 8
+    mid, tr1, _ = traj_act_rollout_pallas(
+        env.init_batch(11, N), params, env.params, env.statics, T,
+        lanes_per_block=N)
+    fin, tr2, _ = traj_act_rollout_pallas(
+        mid, params, env.params, env.statics, T, lanes_per_block=N)
+    full, trf, _ = traj_act_rollout_pallas(
+        env.init_batch(11, N), params, env.params, env.statics, 2 * T,
+        lanes_per_block=N)
+    both_act = np.concatenate([np.asarray(tr1.action), np.asarray(tr2.action)])
+    np.testing.assert_allclose(both_act, np.asarray(trf.action),
+                               rtol=1e-4, atol=1e-5)
+    for f in ("step", "reset_count", "key0", "key1"):
+        np.testing.assert_array_equal(np.asarray(getattr(fin, f)),
+                                      np.asarray(getattr(full, f)), err_msg=f)
