@@ -261,8 +261,9 @@ def _run(state, env_params, actor_w, critic_w, log_std, *, T, tc,
         out_specs=(
             # kernel-natural layout: contiguous (rb, 128) plane stores per
             # step (Mosaic rejects the strided stores a row-major layout
-            # would need); the planes entry point transposes once to the
-            # row-major (rows, N_TRAJ, T, 128) the update kernel gathers
+            # would need). This (T, N_TRAJ, rows, 128) buffer IS the
+            # training set: GAE reads it time-major and the update kernel
+            # gathers (tc, N_TRAJ, row-block, 128) tiles from it directly.
             pl.BlockSpec((tc, N_TRAJ, rb, 128), lambda i, t: (t, 0, i, 0),
                          memory_space=pltpu.VMEM),
             plane(PR.NF), plane(PR.NU), plane(PR.NI), plane(PR.N_STATS),
@@ -280,15 +281,15 @@ def _run(state, env_params, actor_w, critic_w, log_std, *, T, tc,
 
 
 def _planes_to_traj(traj, n):
-    """(rows, N_TRAJ, T, 128) planes -> Traj with (T, B, ...) arrays."""
-    rows, T = traj.shape[0], traj.shape[2]
+    """(T, N_TRAJ, rows, 128) planes -> Traj with (T, B, ...) arrays."""
+    T = traj.shape[0]
 
     def vec(p0, d):
-        x = traj[:, p0:p0 + d]                        # (rows, d, T, 128)
-        return x.transpose(2, 0, 3, 1).reshape(T, n, d)
+        x = traj[:, p0:p0 + d]                        # (T, d, rows, 128)
+        return x.transpose(0, 2, 3, 1).reshape(T, n, d)
 
     def scal(p0):
-        return traj[:, p0].transpose(1, 0, 2).reshape(T, n)
+        return traj[:, p0].reshape(T, n)
 
     return Traj(
         obs=vec(TP_OBS0, OBS_DIM),
@@ -301,7 +302,7 @@ def _planes_to_traj(traj, n):
 
 
 def pack_traj_planes(traj: Traj, rows: int) -> jnp.ndarray:
-    """Inverse of _planes_to_traj: Traj -> (rows, N_TRAJ, T, 128) planes
+    """Inverse of _planes_to_traj: Traj -> (T, N_TRAJ, rows, 128) planes
     (pure layout, no arithmetic — used to feed reference rollouts into the
     plane-consuming update path bit-exactly)."""
     T = traj.obs.shape[0]
@@ -311,7 +312,7 @@ def pack_traj_planes(traj: Traj, rows: int) -> jnp.ndarray:
              traj.reward[:, None],
              traj.done.astype(jnp.float32)[:, None]]
     flat = jnp.concatenate(parts, axis=1)                # (T, N_TRAJ, B)
-    return flat.reshape(T, N_TRAJ, rows, 128).transpose(2, 1, 0, 3)
+    return flat.reshape(T, N_TRAJ, rows, 128)
 
 
 def pick_time_chunk(T: int, cap: int = 16) -> int:
@@ -358,11 +359,15 @@ def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
                                    stochastic: bool = True,
                                    compute_dtype: str = "float32"):
     """traj_act_rollout_pallas without the (T, B, ...) conversion: returns
-    (final EnvState, raw planes (rows, N_TRAJ, T, 128), stats dict). The
-    plane layout is what the PPO update megakernel (ops/pallas_update.py)
-    consumes directly — converting to batch-major costs ~40 ms of
-    minor-dim transposes per 64k-lane rollout, so the training path never
-    leaves plane space."""
+    (final EnvState, raw planes (T, N_TRAJ, rows, 128), stats dict).
+
+    The layout is the KERNEL-NATURAL one — exactly the buffer the rollout
+    kernel streams to HBM, returned with zero relayout. GAE's reverse scan
+    wants time leading anyway, and the PPO update megakernel
+    (ops/pallas_update.py) gathers (time-chunk, row-block) tiles from it
+    via its BlockSpec index maps, so the training path touches these bytes
+    exactly once per consumer (the round-2 row-major relayout cost ~2x
+    buffer bytes of HBM traffic per rollout — ~1.4 GB at 64k lanes)."""
     n = state.pos.shape[0]
     lanes_per_block = PR.pick_lanes_per_block(n, lanes_per_block)
     if not interpret and lanes_per_block % 1024:
@@ -381,10 +386,7 @@ def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
         integrator=statics.integrator, n_actor=len(actor_w),
         n_critic=len(critic_w), interpret=interpret, stochastic=stochastic,
         compute_dtype=compute_dtype)
-    # kernel-natural (T, N_TRAJ, rows, 128) -> row-major gatherable layout;
-    # the 128-lane minor dim is preserved so this is a cheap relayout
-    # (~2x buffer bytes of HBM traffic), not a narrow transpose
-    return final, traj.transpose(2, 1, 0, 3), PR._stats_dict(stats)
+    return final, traj, PR._stats_dict(stats)
 
 
 # ---------------------------------------------------------------------------

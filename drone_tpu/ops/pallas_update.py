@@ -4,18 +4,22 @@ The XLA PPO update materializes every tower activation to HBM — at 64k
 lanes x 128 steps that is ~100 GB of activation traffic per update and
 dominates the train step (~280 of ~300 ms on one v5e; DESIGN.md §3). This
 kernel runs one SGD minibatch pass with hand-written backprop entirely in
-VMEM: the grid streams (time-chunk, lane-row) blocks of the trajectory
-planes produced by ops/pallas_acting_traj.py, the actor/critic towers run
-forward AND backward per block on the MXU, and weight-gradient + loss-stat
-accumulators live in revisited output refs. HBM traffic is exactly one read
-of the minibatch's training planes (~84 B/sample) — activations never leave
-the chip.
+VMEM: the grid streams (row-block, time-chunk) tiles of the KERNEL-NATURAL
+(T, N_TRAJ, rows, 128) trajectory planes produced by
+ops/pallas_acting_traj.py — the exact buffer the rollout kernel wrote, no
+relayout in between — the actor/critic towers run forward AND backward per
+tile on the MXU, and weight-gradient + loss-stat accumulators live in
+revisited output refs. HBM traffic is exactly one read of the minibatch's
+training planes (~84 B/sample) — activations never leave the chip.
 
-Minibatch selection is free: a scalar-prefetched row permutation drives the
-input BlockSpec index maps (pltpu.PrefetchScalarGridSpec), so "shuffle the
-batch" costs a 512-entry int32 array instead of a 700 MB gather. Shuffling
-is therefore at 128-lane row granularity (lanes are iid, rows decorrelate
-minibatches exactly as well at fleet scale).
+Minibatch selection is free: a scalar-prefetched row-block permutation
+drives the input BlockSpec index maps (pltpu.PrefetchScalarGridSpec), so
+"shuffle the batch" costs a small int32 array instead of a 700 MB gather.
+Shuffling is at row-block granularity — `rbu` 128-lane rows per block
+(rbu=8, i.e. 1024 lanes, on compiled runs: the second-minor block dim
+tiles (8, 128) natively and each DMA run is a full 4 KB row; rbu=1 for
+small interpret-mode tests). Lanes are iid, so 1024-lane groups
+decorrelate minibatches exactly as well at fleet scale.
 
 All gradient math lives in `_block_grads`, shared verbatim by the kernel
 and by the pure-jnp mirror `ppo_update_reference` (same ops, same shapes,
@@ -171,15 +175,16 @@ def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co,
 
 
 def _read_block(planes, ar):
-    """Unpack one (N_TRAJ, Tc, 128) trajectory block + (2, Tc, 128) adv/ret
-    block into _block_grads inputs (shared by kernel and mirror; leading-
-    index plane slices are the layout Mosaic relayouts for free)."""
-    Tc = planes.shape[1]
-    S = Tc * 128
-    X = jnp.stack([planes[TP_OBS0 + k] for k in range(OBS_DIM)]).reshape(
+    """Unpack one (Tc, N_TRAJ, rbu, 128) trajectory tile + (2, Tc, rbu, 128)
+    adv/ret tile into _block_grads inputs (shared by kernel and mirror;
+    plane-index slices on dim 1 are leading-dim slices of the tiled minor
+    (rbu, 128) layout, so Mosaic relayouts them for free)."""
+    Tc, rbu = planes.shape[0], planes.shape[2]
+    S = Tc * rbu * 128
+    X = jnp.stack([planes[:, TP_OBS0 + k] for k in range(OBS_DIM)]).reshape(
         OBS_DIM, S)
-    a = [planes[TP_ACT0 + k] for k in range(4)]
-    return (X, a, planes[TP_LOGP], planes[TP_VAL], ar[0], ar[1])
+    a = [planes[:, TP_ACT0 + k] for k in range(4)]
+    return (X, a, planes[:, TP_LOGP], planes[:, TP_VAL], ar[0], ar[1])
 
 
 def _update_kernel(perm_ref, pl_ref, ar_ref, ls_ref, *refs,
@@ -202,8 +207,8 @@ def _update_kernel(perm_ref, pl_ref, ar_ref, ls_ref, *refs,
             r[:] = jnp.zeros_like(r)
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
-    planes = pl_ref[0]          # (N_TRAJ, Tc, 128)
-    ar = ar_ref[:, 0]           # (2, Tc, 128)
+    planes = pl_ref[:, :, 0]    # (Tc, N_TRAJ, 1, rbu, 128) -> drop n_rb
+    ar = ar_ref[:, :, 0]        # (2, Tc, 1, rbu, 128) -> (2, Tc, rbu, 128)
     X, a, logp_old, v_old, adv, ret = _read_block(planes, ar)
     ga, gc, stats = _block_grads(X, a, logp_old, v_old, adv, ret,
                                  actor, critic, ls, co, compute_dtype)
@@ -216,14 +221,21 @@ def _update_kernel(perm_ref, pl_ref, ar_ref, ls_ref, *refs,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mb_rows", "tc", "n_actor", "n_critic", "co",
+    static_argnames=("n_sel", "tc", "rbu", "n_actor", "n_critic", "co",
                      "interpret", "compute_dtype"),
 )
 def _update_call(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
-                 mb_rows, tc, n_actor, n_critic, co, interpret=False,
+                 n_sel, tc, rbu, n_actor, n_critic, co, interpret=False,
                  compute_dtype="float32"):
-    rows, T = planes.shape[0], planes.shape[2]
+    T, rows = planes.shape[0], planes.shape[2]
     nt = T // tc
+    n_rb = rows // rbu
+    # split rows -> (n_rb, rbu) so the block's trailing (rbu, 128) dims
+    # EQUAL the array's (Mosaic's "divisible by 8 OR equal" rule: legal for
+    # any rbu, including the small interpret-test shapes). The reshape
+    # splits a major dim contiguously — layout-preserving, no copy.
+    planes = planes.reshape(T, N_TRAJ, n_rb, rbu, 128)
+    advret = advret.reshape(2, T, n_rb, rbu, 128)
     w_flat = [m for wb in (*actor_w, *critic_w) for m in wb]
     # gradient buffers: dW matches W (out, in); db is (out, 1) (2-D so the
     # VMEM accumulator tiles cleanly; the caller strips the column)
@@ -236,16 +248,17 @@ def _update_call(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(mb_rows, nt),
+        grid=(n_sel, nt),
         in_specs=[
-            # row-major plane layout: one whole row's plane set per
-            # (row, time-chunk) block; the scalar-prefetched permutation
-            # p drives the row index — minibatch gather for free
-            pl.BlockSpec((1, N_TRAJ, tc, 128),
-                         lambda g, t, p: (p[g], 0, t, 0),
+            # kernel-natural (T, N_TRAJ, rows, 128) layout, straight from
+            # the rollout kernel: one (time-chunk, all planes, row-block)
+            # tile per grid step; the scalar-prefetched permutation p
+            # drives the row-block index — minibatch gather for free
+            pl.BlockSpec((tc, N_TRAJ, 1, rbu, 128),
+                         lambda g, t, p: (t, 0, p[g], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 1, tc, 128),
-                         lambda g, t, p: (0, p[g], t, 0),
+            pl.BlockSpec((2, tc, 1, rbu, 128),
+                         lambda g, t, p: (0, t, p[g], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda g, t, p: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -253,7 +266,8 @@ def _update_call(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
         ],
         out_specs=(
             *[full(s) for s in g_shapes],
-            pl.BlockSpec((N_UPSTATS, tc, 128), lambda g, t, p: (0, 0, 0),
+            pl.BlockSpec((N_UPSTATS, tc, rbu, 128),
+                         lambda g, t, p: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -265,13 +279,13 @@ def _update_call(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
         grid_spec=grid_spec,
         out_shape=(
             *[jax.ShapeDtypeStruct(s, jnp.float32) for s in g_shapes],
-            jax.ShapeDtypeStruct((N_UPSTATS, tc, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N_UPSTATS, tc, rbu, 128), jnp.float32),
         ),
         interpret=interpret,
     )(perm_mb, planes, advret, log_std, *w_flat)
     grads_flat, stats = outs[:-1], outs[-1]
     return _fold_grads(grads_flat, n_actor, n_critic), jnp.sum(stats,
-                                                               axis=(1, 2))
+                                                               axis=(1, 2, 3))
 
 
 def _fold_grads(flat, n_actor, n_critic):
@@ -285,39 +299,55 @@ def _grad_shapes(weights):
             for w, _ in weights]
 
 
+def pick_row_block(mb_rows: int) -> int:
+    """Rows per update tile: the largest power-of-two divisor of the
+    minibatch's row count that is <= 8. 8 rows (1024 lanes) is the natural
+    compiled tile — the (rbu, 128) minor dims are exactly one Mosaic tile
+    and each plane's DMA run is a full 4 KB; smaller values serve the tiny
+    interpret-mode test batches."""
+    for k in (8, 4, 2):
+        if mb_rows % k == 0:
+            return k
+    return 1
+
+
 def pick_update_chunk(T: int, cap: int = 16) -> int:
-    """Largest divisor of T that is <= cap AND Mosaic-legal as a trailing
-    block dim (multiple of 8, or the whole of T)."""
-    best = None
+    """Largest divisor of T that is <= cap. The time chunk is a LEADING
+    block dim of the (tc, N_TRAJ, rbu, 128) update tile, so (unlike the
+    rollout kernel's trailing chunk) it carries no multiple-of-8 rule; the
+    caller shrinks cap so tc * rbu * 128 stays at the ~2048-sample compute
+    tile the kernel was tuned at."""
+    best = 1
     for k in range(1, min(cap, T) + 1):
-        if T % k == 0 and (k % 8 == 0 or k == T):
+        if T % k == 0:
             best = k
-    return best if best is not None else T
+    return best
 
 
 def ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
-                         log_std, *, tc, co: UpdateConsts,
+                         log_std, *, tc, rbu, co: UpdateConsts,
                          compute_dtype="float32"):
     """Pure-jnp mirror of the update kernel: same block math
-    (`_block_grads`), same (row, time-chunk) accumulation order. Bitwise
-    contract for the interpret-mode tests; the CPU-backend update path."""
-    T = planes.shape[2]
+    (`_block_grads`), same (row-block, time-chunk) accumulation order.
+    Bitwise contract for the interpret-mode tests; the CPU-backend update
+    path."""
+    T = planes.shape[0]
     nt = T // tc
-    mb_rows = perm_mb.shape[0]
+    n_sel = perm_mb.shape[0]
     ls = [log_std[0, k] for k in range(4)]
     acc0 = ([tuple(g) for g in _grad_shapes(actor_w)],
             [tuple(g) for g in _grad_shapes(critic_w)],
-            jnp.zeros((N_UPSTATS, tc, 128), jnp.float32))
+            jnp.zeros((N_UPSTATS, tc, rbu, 128), jnp.float32))
 
     def body(acc, idx):
         ga_acc, gc_acc, st_acc = acc
         g = idx // nt
         t = idx % nt
-        row = perm_mb[g]
+        rb = perm_mb[g]
         blk = jax.lax.dynamic_slice(
-            planes, (row, 0, t * tc, 0), (1, N_TRAJ, tc, 128))[0]
+            planes, (t * tc, 0, rb * rbu, 0), (tc, N_TRAJ, rbu, 128))
         ar = jax.lax.dynamic_slice(
-            advret, (0, row, t * tc, 0), (2, 1, tc, 128))[:, 0]
+            advret, (0, t * tc, rb * rbu, 0), (2, tc, rbu, 128))
         X, a, logp_old, v_old, adv, ret = _read_block(blk, ar)
         ga, gc, stats = _block_grads(X, a, logp_old, v_old, adv, ret,
                                      actor_w, critic_w, ls, co,
@@ -327,18 +357,20 @@ def ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
         st_acc = st_acc + jnp.stack(stats)
         return (ga_acc, gc_acc, st_acc), None
 
-    (ga, gc, st), _ = jax.lax.scan(body, acc0, jnp.arange(mb_rows * nt))
-    return (ga, gc), jnp.sum(st, axis=(1, 2))
+    (ga, gc, st), _ = jax.lax.scan(body, acc0, jnp.arange(n_sel * nt))
+    return (ga, gc), jnp.sum(st, axis=(1, 2, 3))
 
 
 def ppo_update(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
-               tc, co: UpdateConsts, mode: str = "kernel",
+               tc, co: UpdateConsts, rbu: int = 1, mode: str = "kernel",
                interpret: bool = False, compute_dtype: str = "float32"):
     """One PPO minibatch gradient pass over the trajectory planes.
 
-    planes: (rows, N_TRAJ, T, 128) from the trajectory rollout;
-    advret: (2, rows, T, 128) stacked (normalized advantage, return);
-    perm_mb: (mb_rows,) int32 row indices of this minibatch.
+    planes: (T, N_TRAJ, rows, 128) straight from the trajectory rollout
+    kernel (its natural layout — no relayout between the two kernels);
+    advret: (2, T, rows, 128) stacked (normalized advantage, return);
+    perm_mb: (n_sel,) int32 ROW-BLOCK indices of this minibatch — block i
+    covers rows [i*rbu, (i+1)*rbu).
     Returns ((actor grads, critic grads), stat sums (N_UPSTATS,)).
     Gradients are SUMS scaled by inv_m (i.e. the mean-loss gradient);
     log_std's gradient lives in the stat sums (ST_DLS*) plus the caller's
@@ -348,12 +380,12 @@ def ppo_update(planes, advret, perm_mb, actor_w, critic_w, log_std, *,
     critic_w = tuple(critic_w)
     if mode == "kernel":
         return _update_call(planes, advret, perm_mb, actor_w, critic_w,
-                            log_std, mb_rows=perm_mb.shape[0], tc=tc,
+                            log_std, n_sel=perm_mb.shape[0], tc=tc, rbu=rbu,
                             n_actor=len(actor_w), n_critic=len(critic_w),
                             co=co, interpret=interpret,
                             compute_dtype=compute_dtype)
     return ppo_update_reference(planes, advret, perm_mb, actor_w, critic_w,
-                                log_std, tc=tc, co=co,
+                                log_std, tc=tc, rbu=rbu, co=co,
                                 compute_dtype=compute_dtype)
 
 

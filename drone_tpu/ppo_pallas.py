@@ -10,7 +10,8 @@ module is the TPU speed-of-light configuration:
              done planes (bandwidth-trivial; layout is already time-major).
   update   — ops/pallas_update.py runs each SGD minibatch fwd+bwd in VMEM
              with hand-written backprop; minibatch shuffling is a
-             scalar-prefetched row permutation (no gather of the batch).
+             scalar-prefetched row-block permutation (no gather of the
+             batch).
   optimizer— optax (adam + global-norm clip) on the tiny param pytree.
 
 Training data never changes layout: the trajectory planes the rollout
@@ -26,10 +27,10 @@ Semantic deltas vs the scan trainer (documented, both intentional):
   - exploration noise comes from the env's counter streams, not the host
     PRNG key (reproducible per (lane, episode, step), key only drives
     minibatch permutations);
-  - minibatch shuffling decorrelates at 128-lane row granularity instead of
-    single lanes (lanes are iid; at fleet scale rows mix episodes equally
-    well, and single-lane gathers are the only thing the TPU layout would
-    pay for).
+  - minibatch shuffling decorrelates at row-block granularity (1024 lanes
+    compiled, fewer for tiny interpret runs) instead of single lanes (lanes
+    are iid; at fleet scale row blocks mix episodes equally well, and
+    single-lane gathers are the only thing the TPU layout would pay for).
 
 Reference: SURVEY.md §3.1 (both hot loops of `[U] pufferlib/pufferl.py`,
 here two Pallas kernels sharing one HBM buffer); BASELINE.json:10.
@@ -102,6 +103,75 @@ def init_fused_opt_state(params):
             [jnp.zeros_like(t) for t in tensors])
 
 
+# ---------------------------------------------------------------------------
+# Cross-trainer checkpoint portability: the fused (count, mu, nu) state and
+# optax's chain(clip_by_global_norm, adam) state hold the SAME adam moments
+# (mu/nu are elementwise tensors; the kernel layout is the params layout
+# transposed), so a checkpoint written by one trainer resumes under the
+# other with momentum intact. SURVEY.md §5 checkpoint/resume (the
+# reference's *.pt resume is trainer-agnostic).
+# ---------------------------------------------------------------------------
+
+def is_fused_opt_state(opt_state) -> bool:
+    """True for the (count, mu-list, nu-list) fused-adam state."""
+    return (isinstance(opt_state, (tuple, list)) and len(opt_state) == 3
+            and not hasattr(opt_state, "_fields")
+            and isinstance(opt_state[1], (tuple, list))
+            and isinstance(opt_state[2], (tuple, list))
+            and not hasattr(opt_state[1], "_fields"))
+
+
+def _find_state(opt_state, kind):
+    """Depth-first search for a named-tuple state (e.g. ScaleByAdamState)
+    inside an optax chain state."""
+    if isinstance(opt_state, kind):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for x in opt_state:
+            r = _find_state(x, kind)
+            if r is not None:
+                return r
+    return None
+
+
+def optax_to_fused_opt_state(opt_state):
+    """optax chain(clip_by_global_norm, adam) state -> fused (count, mu, nu)
+    in kernel tensor layout. The moments map 1:1 (bitwise: transposes and
+    reshapes only)."""
+    adam = _find_state(opt_state, optax.ScaleByAdamState)
+    if adam is None:
+        raise ValueError(
+            "cannot convert optimizer state: no ScaleByAdamState found "
+            f"(structure: {jax.tree_util.tree_structure(opt_state)})")
+    mu_t, _, _ = _kernel_tensors(adam.mu)
+    nu_t, _, _ = _kernel_tensors(adam.nu)
+    return (jnp.asarray(adam.count, jnp.float32), mu_t, nu_t)
+
+
+def fused_to_optax_opt_state(optimizer, params, fused_state):
+    """Fused (count, mu, nu) -> the optax state `optimizer.init(params)`
+    would carry after the same number of steps: adam count/moments filled
+    in (bitwise: layout only), schedule counts synced so lr annealing
+    resumes where it left off."""
+    count, mu_t, nu_t = fused_state
+    _, na, nc = _kernel_tensors(params)
+    mu = _tensors_to_params(params, list(mu_t), na, nc)
+    nu = _tensors_to_params(params, list(nu_t), na, nc)
+    ci = jnp.asarray(count, jnp.int32)
+
+    def repl(x):
+        if isinstance(x, optax.ScaleByAdamState):
+            return x._replace(count=ci, mu=mu, nu=nu)
+        if isinstance(x, optax.ScaleByScheduleState):
+            return x._replace(count=ci)
+        return x
+
+    is_leaf = lambda x: isinstance(
+        x, (optax.ScaleByAdamState, optax.ScaleByScheduleState))
+    return jax.tree_util.tree_map(repl, optimizer.init(params),
+                                  is_leaf=is_leaf)
+
+
 def make_pallas_train_step(
     optimizer: optax.GradientTransformation,
     env_params: EnvParams,
@@ -139,7 +209,24 @@ def make_pallas_train_step(
     m_samples = mb_rows * 128 * cfg.horizon
     co = PU.UpdateConsts(clip_eps=cfg.clip_eps, vf_clip=cfg.vf_clip,
                          vf_coef=cfg.vf_coef, inv_m=1.0 / m_samples)
-    tc = PU.pick_update_chunk(cfg.horizon, cap=update_tc)
+    # update tiles: rbu rows x tc steps, shuffled at row-block granularity
+    # (the update kernel gathers (tc, N_TRAJ, rbu, 128) tiles straight from
+    # the rollout kernel's natural layout; cap keeps tc*rbu*128 at the
+    # ~2048-sample compute tile)
+    rbu = PU.pick_row_block(mb_rows)
+    if mode == "kernel" and not interpret and rbu % 8:
+        # Mosaic rejects the in-kernel (S,) -> (tc, rbu, 128) reshape
+        # unless rbu % 8 == 0 (measured on v5e: rbu=4 fails
+        # `infer-vector-layout: unsupported shape cast`, rbu=8 compiles)
+        raise ValueError(
+            f"compiled update kernels need 8-row (1024-lane) minibatch "
+            f"tiles: num_envs/device ({local_envs}) gives {mb_rows} rows "
+            f"per minibatch ({cfg.num_minibatches} minibatches), not a "
+            f"multiple of 8. Use num_envs divisible by "
+            f"{1024 * cfg.num_minibatches}, or interpret=True on CPU.")
+    n_rb = rows // rbu
+    mb_rb = mb_rows // rbu
+    tc = PU.pick_update_chunk(cfg.horizon, cap=max(1, update_tc // rbu))
     # fused optimizer: clip+adam as ONE kernel launch per SGD step, weights
     # carried in kernel layout across the whole update phase (the optax path
     # costs ~0.9 ms of tiny-op glue per step). Semantics match
@@ -173,15 +260,13 @@ def make_pallas_train_step(
         last_obs = jax.vmap(env_mod.observe)(final_state)
 
         # --- GAE on the planes (shared jnp: identical in both modes) -------
-        # planes are (rows, N_TRAJ, T, 128); the reverse scan wants T
-        # leading — these transposes keep the 128-lane minor dim (pure
-        # relayout, no narrow transpose)
+        # planes are (T, N_TRAJ, rows, 128) — already time-major, exactly
+        # what the reverse scan walks; plane selection is a free slice
         critic_w = critic_weights(runner.params)
         cdt = jnp.dtype(compute_dtype).type
         last_value = _tower(last_obs.T, critic_w, cdt)[0].reshape(rows, 128)
-        t_major = lambda p: planes[:, p].transpose(1, 0, 2)
         adv, ret = ppo_mod.compute_gae(
-            t_major(TP_REW), t_major(TP_VAL), t_major(TP_DONE),
+            planes[:, TP_REW], planes[:, TP_VAL], planes[:, TP_DONE],
             last_value, cfg.gamma, cfg.gae_lambda)
         if axis_name is not None:
             g_mean = jax.lax.pmean(jnp.mean(adv), axis_name)
@@ -190,7 +275,7 @@ def make_pallas_train_step(
             g_mean = jnp.mean(adv)
             g_var = jnp.var(adv)
         adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
-        advret = jnp.stack([adv, ret]).transpose(0, 2, 1, 3)
+        advret = jnp.stack([adv, ret])        # (2, T, rows, 128)
 
         # --- epochs x minibatches through the update megakernel ------------
         def _losses(st, ent):
@@ -211,7 +296,7 @@ def make_pallas_train_step(
             # (what loss_fn's mean over the minibatch evaluates to)
             ent = jnp.sum(ls[0] + 0.5 * (1.0 + 2.0 * PAT._HALF_LOG_2PI))
             (ga, gc), st = PU.ppo_update(
-                planes, advret, perm_mb, aw, cw, ls, tc=tc, co=co,
+                planes, advret, perm_mb, aw, cw, ls, tc=tc, rbu=rbu, co=co,
                 mode=mode, interpret=interpret, compute_dtype=compute_dtype)
             dls = st[PU.ST_DLS0:PU.ST_DLS0 + 4] - cfg.ent_coef
             grads = _grads_pytree(params, ga, gc, dls)
@@ -230,7 +315,7 @@ def make_pallas_train_step(
             ls = tensors[-1]
             ent = jnp.sum(ls[0] + 0.5 * (1.0 + 2.0 * PAT._HALF_LOG_2PI))
             (ga, gc), st = PU.ppo_update(
-                planes, advret, perm_mb, aw, cw, ls, tc=tc, co=co,
+                planes, advret, perm_mb, aw, cw, ls, tc=tc, rbu=rbu, co=co,
                 mode=mode, interpret=interpret, compute_dtype=compute_dtype)
             dls = (st[PU.ST_DLS0:PU.ST_DLS0 + 4]
                    - cfg.ent_coef).reshape(1, 4)
@@ -253,11 +338,11 @@ def make_pallas_train_step(
             step_fn = sgd_step
 
         def epoch_body(carry, ekey):
-            perm = jax.random.permutation(ekey, rows)
+            perm = jax.random.permutation(ekey, n_rb)
 
             def mb_body(carry, mb_idx):
                 perm_mb = jax.lax.dynamic_slice(
-                    perm, (mb_idx * mb_rows,), (mb_rows,))
+                    perm, (mb_idx * mb_rb,), (mb_rb,))
                 return step_fn(carry, perm_mb)
 
             return jax.lax.scan(mb_body, carry,

@@ -199,21 +199,34 @@ def test_traj_rollout_chained_calls_consume_fresh_noise():
 
 
 def test_chunk_pickers_mosaic_legality():
-    """Both chunk pickers return divisors that are Mosaic-legal trailing
-    block dims (multiple of 8, or the whole horizon)."""
+    """The rollout time-chunk picker returns Mosaic-legal TRAILING block
+    dims (multiple of 8, or the whole horizon); the update pickers tile
+    leading/second-minor dims with their own rules."""
     from drone_tpu.ops.pallas_acting_traj import pick_time_chunk
-    from drone_tpu.ops.pallas_update import pick_update_chunk
+    from drone_tpu.ops.pallas_update import pick_row_block, pick_update_chunk
 
-    for picker, cap in ((pick_time_chunk, 16), (pick_update_chunk, 16)):
-        for T in (4, 8, 12, 16, 20, 24, 32, 64, 128, 100):
-            tc = picker(T)
-            assert T % tc == 0, (picker.__name__, T, tc)
-            assert tc % 8 == 0 or tc == T, (picker.__name__, T, tc)
-            assert tc <= max(cap, T)
+    for T in (4, 8, 12, 16, 20, 24, 32, 64, 128, 100):
+        tc = pick_time_chunk(T)
+        assert T % tc == 0, (T, tc)
+        assert tc % 8 == 0 or tc == T, (T, tc)
+        assert tc <= max(16, T)
     assert pick_time_chunk(128) == 16
-    assert pick_update_chunk(128) == 16
     assert pick_time_chunk(12) == 12   # no 8-multiple divisor <= cap
     assert pick_time_chunk(24) == 8
+    # update time chunk: any divisor <= cap (leading block dim, no 8-rule)
+    for T in (4, 8, 12, 16, 24, 128, 100):
+        for cap in (1, 2, 16):
+            tc = pick_update_chunk(T, cap=cap)
+            assert T % tc == 0 and tc <= max(cap, 1)
+    assert pick_update_chunk(128) == 16
+    assert pick_update_chunk(128, cap=2) == 2
+    assert pick_update_chunk(12) == 12
+    # row block: largest power-of-two divisor <= 8 (compiled tile = 8 rows)
+    assert pick_row_block(128) == 8
+    assert pick_row_block(12) == 4
+    assert pick_row_block(2) == 2
+    assert pick_row_block(1) == 1
+    assert pick_row_block(3) == 1
 
 
 def test_lane_block_picker_prefers_1024():

@@ -35,8 +35,8 @@ def _fixture(T=8, rows=4, hidden=(16, 16), seed=0):
         state, params, env.params, env.statics, T, lanes_per_block=rows * 128,
         interpret=True)
     k = jax.random.PRNGKey(seed + 2)
-    # planes: (rows, N_TRAJ, T, 128); advret: (2, rows, T, 128)
-    adv = jax.random.normal(k, (rows, T, 128), jnp.float32)
+    # planes: (T, N_TRAJ, rows, 128); advret: (2, T, rows, 128)
+    adv = jax.random.normal(k, (T, rows, 128), jnp.float32)
     ret = planes[:, PAT.TP_VAL] + 0.5 * adv
     advret = jnp.stack([adv, ret])
     co = PU.UpdateConsts(clip_eps=0.2, vf_clip=10.0, vf_coef=0.5,
@@ -51,7 +51,7 @@ def _loss_jnp(params, planes, advret, co):
     aw = actor_weights(params)
     cw = critic_weights(params)
     ls_row = _log_std(params)
-    rows, T = planes.shape[0], planes.shape[2]
+    T, rows = planes.shape[0], planes.shape[2]
     S = T * rows * 128
     flat = planes.transpose(1, 0, 2, 3).reshape(N_TRAJ, S)
     X = flat[PAT.TP_OBS0:PAT.TP_OBS0 + 13]
@@ -83,7 +83,7 @@ def _loss_jnp(params, planes, advret, co):
 
 def test_handwritten_backprop_matches_autodiff():
     params, planes, advret, co = _fixture()
-    rows = planes.shape[0]
+    rows = planes.shape[2]
     perm = jnp.arange(rows, dtype=jnp.int32)
     (ga, gc), st = PU.ppo_update(
         planes, advret, perm, actor_weights(params), critic_weights(params),
@@ -122,7 +122,7 @@ def test_update_kernel_bitwise_vs_reference():
 
 def test_grads_pytree_matches_params_structure():
     params, planes, advret, co = _fixture(hidden=(8, 8, 8))
-    rows = planes.shape[0]
+    rows = planes.shape[2]
     perm = jnp.arange(rows, dtype=jnp.int32)
     (ga, gc), st = PU.ppo_update(
         planes, advret, perm, actor_weights(params), critic_weights(params),
@@ -162,7 +162,7 @@ def test_update_kernel_bf16_bitwise_and_sane():
     contract (bf16 operands, f32 accumulators on both sides) and stays close
     to the f32 gradients."""
     params, planes, advret, co = _fixture()
-    rows = planes.shape[0]
+    rows = planes.shape[2]
     perm = jnp.arange(rows, dtype=jnp.int32)
     aw, cw, ls = actor_weights(params), critic_weights(params), _log_std(params)
     gk, sk = PU.ppo_update(planes, advret, perm, aw, cw, ls, tc=4, co=co,
