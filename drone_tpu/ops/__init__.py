@@ -17,7 +17,11 @@ from drone_tpu.ops.pallas_acting_traj import (  # noqa: F401
     traj_act_rollout_pallas,
     traj_act_rollout_reference,
 )
-from drone_tpu.ops.pallas_acting_lstm import lstm_act_rollout_pallas  # noqa: F401
+from drone_tpu.ops.pallas_acting_lstm import (  # noqa: F401
+    lstm_act_rollout_pallas,
+    traj_lstm_rollout_pallas,
+    traj_lstm_rollout_reference,
+)
 from drone_tpu.ops.sharded import (  # noqa: F401
     sharded_act_rollout_pallas,
     sharded_rollout_pallas,

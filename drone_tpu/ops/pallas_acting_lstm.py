@@ -1,20 +1,33 @@
-"""Fused LSTM-policy + env acting megakernel (recurrent serving path).
+"""Fused LSTM-policy + env megakernels (recurrent serving AND training).
 
-Recurrent counterpart of pallas_acting.py: the LSTMActorCritic tower runs
-inside the VMEM-resident rollout kernel. Everything stays in plane space —
-the hidden/cell state live as (hidden, L) matrices in the fori_loop carry,
-gate matmuls are (hidden, in) @ (in, L) on the MXU with pre-transposed flax
-kernels, and the carry is zeroed per lane on auto-reset exactly as
-ppo_rnn._mask_carry does on the scan path.
+Recurrent counterpart of pallas_acting.py / pallas_acting_traj.py: the
+LSTMActorCritic tower runs inside the VMEM-resident rollout kernel.
+Everything stays in plane space — the hidden/cell state live as
+(hidden, L) matrices in the fori_loop carry, gate matmuls are
+(hidden, in) @ (in, L) on the MXU with pre-transposed flax kernels, and
+the carry is zeroed per lane on auto-reset exactly as ppo_rnn._mask_carry
+does on the scan path.
 
 Flax LSTMCell semantics (models/lstm.py / native/dronenet.c lstm_fwd):
     i = sig(x Wi_i + h Wh_i + b_i)   f = sig(...)
     g = tanh(x Wi_g + h Wh_g + b_g)  o = sig(...)
     c' = f*c + i*g ; h' = o*tanh(c')
 
-Deterministic actions (action = policy mean) — the recurrent eval/serving
-configuration; recurrent TRAINING stays on the scan path (BPTT needs the
-stored sequence, drone_tpu.ppo_rnn).
+Two kernels:
+  - `lstm_act_rollout_pallas`: deterministic actions (action = policy
+    mean) — the recurrent eval/serving configuration.
+  - `traj_lstm_rollout_pallas`: the recurrent TRAINING rollout — samples
+    exploration actions from the counter-RNG noise stream (same blocks as
+    the MLP trajectory kernel), evaluates the critic head, streams the
+    (obs, action, logp, value, reward, done) planes to HBM in the
+    kernel-natural (T, N_TRAJ, rows, 128) layout, and records the (c, h)
+    carry at every `bptt` segment start — exactly the anchors
+    ppo_rnn.segmented_forward needs for truncated BPTT. The jnp mirror
+    `traj_lstm_rollout_reference` is the bitwise contract in interpret
+    mode (the pallas_acting_traj pattern).
+
+Reference: SURVEY.md §2.2 #9-#10 (`[U] pufferlib/pufferl.py` LSTM mode is
+part of the trainer; `[U] pufferlib/models.py` LSTMWrapper).
 """
 
 from __future__ import annotations
@@ -26,8 +39,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from drone_tpu import env as env_mod
+from drone_tpu import prng
 from drone_tpu.ops import pallas_rollout as PR
-from drone_tpu.types import EnvParams, EnvState, EnvStatics
+from drone_tpu.ops.pallas_acting_traj import (
+    N_TRAJ,
+    TP_ACT0,
+    TP_DONE,
+    TP_LOGP,
+    TP_OBS0,
+    TP_REW,
+    TP_VAL,
+    Traj,
+    _gauss4_planes,
+    _planes_to_traj,
+    _sample_logp,
+    pick_time_chunk,
+)
+from drone_tpu.types import OBS_DIM, EnvParams, EnvState, EnvStatics
 
 _GATES = ("i", "f", "g", "o")
 
@@ -176,6 +205,307 @@ def _run(state, carry, weights, params, *, T, lanes_per_block, task,
     )(pf, pi, fs, us, st, h0, c0, *w_flat)
     out_carry = (oc.reshape(hidden, n).T, oh.reshape(hidden, n).T)  # (c, h)
     return PR.unpack_state(ofs, ous, ost), out_carry, jnp.sum(stats, axis=(1, 2))
+
+
+def lstm_all_weights(params):
+    """lstm_weights + critic head + log_std row (the training surface)."""
+    p = params["params"] if "params" in params else params
+    enc, wi, wh, bh, head = lstm_weights(params)
+    d = p["critic_value"]
+    vhead = (jnp.asarray(d["kernel"], jnp.float32).T,
+             jnp.asarray(d["bias"], jnp.float32))
+    ls = jnp.asarray(p["log_std"], jnp.float32).reshape(1, 4)
+    return enc, wi, wh, bh, head, vhead, ls
+
+
+def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
+                      ls_ref, *refs, tc, bptt, task, integrator, n_enc,
+                      stochastic):
+    # refs: 2*n_enc enc, 4 wi, 4 wh, 4 bh, head W/b, vhead W/b, then
+    # outputs: traj, snap, ofs, ous, ost, oh, oc, stats
+    n_w = 2 * n_enc + 16
+    w_refs, out_refs = refs[:n_w], refs[n_w:]
+    (traj_ref, snap_ref, ofs_ref, ous_ref, ost_ref, oh_ref, oc_ref,
+     stats_ref) = out_refs
+    enc = [(w_refs[2 * i][:], w_refs[2 * i + 1][:]) for i in range(n_enc)]
+    wi = [w_refs[2 * n_enc + g][:] for g in range(4)]
+    wh = [w_refs[2 * n_enc + 4 + g][:] for g in range(4)]
+    bh = [w_refs[2 * n_enc + 8 + g][:] for g in range(4)]
+    head_w = w_refs[2 * n_enc + 12][:]
+    head_b = w_refs[2 * n_enc + 13][:]
+    vh_w = w_refs[2 * n_enc + 14][:]
+    vh_b = w_refs[2 * n_enc + 15][:]
+    ls = [ls_ref[0, k] for k in range(4)]
+
+    t = pl.program_id(1)
+
+    # env-state planes + recurrent carry ride in revisited output refs
+    # across time chunks (block index constant in t), as in the MLP
+    # trajectory kernel
+    @pl.when(t == 0)
+    def _init():
+        for k in range(PR.NF):
+            ofs_ref[k] = fs_ref[k]
+        for k in range(PR.NU):
+            ous_ref[k] = us_ref[k]
+        for k in range(PR.NI):
+            ost_ref[k] = st_ref[k]
+        for k in range(PR.N_STATS):
+            stats_ref[k] = jnp.zeros_like(stats_ref[k])
+        oh_ref[:] = h0_ref[:]
+        oc_ref[:] = c0_ref[:]
+
+    P = PR._P(pf_ref, pi_ref)
+    c0 = PR.read_carry(ofs_ref, ous_ref, ost_ref)
+    shape = c0[0].shape
+    L = shape[0] * 128
+    acc0 = tuple(stats_ref[k] for k in range(PR.N_STATS))
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def body(s, carry):
+        c, h, cc, acc = carry
+        # BPTT anchor: the carry ENTERING the first step of each segment.
+        # The snapshot block revisits for every chunk of a segment, so a
+        # where-select keeps the segment-start value until the block index
+        # advances and Mosaic flushes it to HBM.
+        is_start = ((t * tc + s) % bptt) == 0
+        snap_ref[0, 0] = jnp.where(is_start, cc, snap_ref[0, 0])
+        snap_ref[0, 1] = jnp.where(is_start, h, snap_ref[0, 1])
+        X = PR.obs_matrix(c, L)
+        x = X
+        for w, b in enc:
+            x = jnp.tanh(dot(w, x) + b[:, None])
+        gi = jax.nn.sigmoid(dot(wi[0], x) + dot(wh[0], h) + bh[0][:, None])
+        gf = jax.nn.sigmoid(dot(wi[1], x) + dot(wh[1], h) + bh[1][:, None])
+        gg = jnp.tanh(dot(wi[2], x) + dot(wh[2], h) + bh[2][:, None])
+        go = jax.nn.sigmoid(dot(wi[3], x) + dot(wh[3], h) + bh[3][:, None])
+        cc2 = gf * cc + gi * gg
+        h2 = go * jnp.tanh(cc2)
+        mx = dot(head_w, h2) + head_b[:, None]     # (4, L)
+        vx = dot(vh_w, h2) + vh_b[:, None]         # (1, L)
+        m = [mx[k].reshape(shape) for k in range(4)]
+        value = vx[0].reshape(shape)
+        rc, k0, k1, stp = c[22], c[23], c[24], c[19]
+        z = _gauss4_planes(k0, k1, rc, stp, PR._uniform)
+        a, logp = _sample_logp(m, z, ls, stochastic)
+        for k in range(OBS_DIM):
+            traj_ref[s, TP_OBS0 + k] = X[k].reshape(shape)
+        for k in range(4):
+            traj_ref[s, TP_ACT0 + k] = a[k]
+        traj_ref[s, TP_LOGP] = logp
+        traj_ref[s, TP_VAL] = value
+        c2, r, done, epret2, step2 = PR._env_step(c, a[0], a[1], a[2], a[3],
+                                                  P, task, integrator)
+        traj_ref[s, TP_REW] = r
+        traj_ref[s, TP_DONE] = done.astype(jnp.float32)
+        # ppo_rnn._mask_carry: zero the recurrent state of done lanes
+        keep = (1.0 - done.astype(jnp.float32)).reshape(1, L)
+        return c2, h2 * keep, cc2 * keep, PR.accumulate(acc, r, done,
+                                                        epret2, step2)
+
+    c, h, cc, acc = jax.lax.fori_loop(
+        0, tc, body, (c0, oh_ref[:], oc_ref[:], acc0))
+    PR.write_back(c, acc, ofs_ref, ous_ref, ost_ref, stats_ref)
+    oh_ref[:] = h
+    oc_ref[:] = cc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "tc", "bptt", "lanes_per_block", "task",
+                     "integrator", "n_enc", "interpret", "stochastic"),
+    donate_argnums=(0,),
+)
+def _traj_run(state, carry, weights, ls, params, *, T, tc, bptt,
+              lanes_per_block, task, integrator, n_enc, interpret=False,
+              stochastic=True):
+    n = state.pos.shape[0]
+    fs, us, st = PR.pack_state(state, n // 128)
+    pf, pi = PR._pack_params(params)
+    enc, wi, wh, bh, head, vhead = weights
+    hidden = wh[0].shape[0]
+    c0 = jnp.asarray(carry[0], jnp.float32).T.reshape(hidden, n)  # (c, h)
+    h0 = jnp.asarray(carry[1], jnp.float32).T.reshape(hidden, n)
+    rows = fs.shape[1]
+    rb = lanes_per_block // 128
+    nb = rows // rb
+    nt = T // tc
+    n_seg = T // bptt
+    plane = lambda nf: pl.BlockSpec((nf, rb, 128), lambda i, t: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+    hc_spec = pl.BlockSpec((hidden, lanes_per_block),
+                           lambda i, t: (0, i), memory_space=pltpu.VMEM)
+
+    def full(shp):
+        return pl.BlockSpec(shp, lambda i, t: tuple(0 for _ in shp),
+                            memory_space=pltpu.VMEM)
+
+    w_flat = ([m for wb in enc for m in wb] + list(wi) + list(wh) + list(bh)
+              + [head[0], head[1], vhead[0], vhead[1]])
+    kernel = functools.partial(_lstm_traj_kernel, tc=tc, bptt=bptt,
+                               task=task, integrator=integrator, n_enc=n_enc,
+                               stochastic=stochastic)
+    traj, snap, ofs, ous, ost, oh, oc, stats = pl.pallas_call(
+        kernel,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, PR._NP), lambda i, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            plane(PR.NF), plane(PR.NU), plane(PR.NI),
+            hc_spec, hc_spec,
+            pl.BlockSpec((1, 4), lambda i, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *[full(m.shape) for m in w_flat],
+        ],
+        out_specs=(
+            pl.BlockSpec((tc, N_TRAJ, rb, 128), lambda i, t: (t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            # one (c, h) snapshot slot per BPTT segment; every chunk of a
+            # segment revisits the same block, flushed when t advances past
+            # the segment boundary (bptt % tc == 0 by construction)
+            pl.BlockSpec((1, 2, hidden, lanes_per_block),
+                         lambda i, t: ((t * tc) // bptt, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            plane(PR.NF), plane(PR.NU), plane(PR.NI),
+            hc_spec, hc_spec, plane(PR.N_STATS),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, N_TRAJ, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_seg, 2, hidden, n), jnp.float32),
+            jax.ShapeDtypeStruct(fs.shape, jnp.float32),
+            jax.ShapeDtypeStruct(us.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(st.shape, jnp.int32),
+            jax.ShapeDtypeStruct((hidden, n), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, n), jnp.float32),
+            jax.ShapeDtypeStruct((PR.N_STATS, rows, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pf, pi, fs, us, st, h0, c0, ls, *w_flat)
+    out_carry = (oc.reshape(hidden, n).T, oh.reshape(hidden, n).T)  # (c, h)
+    seg = (snap[:, 0].transpose(0, 2, 1), snap[:, 1].transpose(0, 2, 1))
+    return (PR.unpack_state(ofs, ous, ost), out_carry, traj, seg,
+            jnp.sum(stats, axis=(1, 2)))
+
+
+def traj_lstm_rollout_pallas(state: EnvState, policy_params, carry,
+                             env_params: EnvParams, statics: EnvStatics,
+                             T: int, bptt: int | None = None,
+                             lanes_per_block: int | None = None,
+                             time_chunk: int | None = None,
+                             interpret: bool = False,
+                             stochastic: bool = True):
+    """Run T fused LSTM-policy + env steps on-chip, emitting the PPO
+    training trajectory AND the truncated-BPTT carry anchors.
+
+    carry: flax LSTM carry (c, h), each (N, hidden). bptt: segment length
+    (default T); T % bptt == 0. Returns (final EnvState, final carry,
+    planes (T, N_TRAJ, rows, 128), seg_carries (c, h) each (S, N, hidden)
+    with S = T // bptt, stats dict).
+
+    Exploration noise comes from the SAME counter stream as the MLP
+    trajectory kernel (blocks NOISE_BLOCK0 + 2*episode-step), so rollouts
+    are reproducible and collision-free across chained calls."""
+    n = state.pos.shape[0]
+    enc, wi, wh, bh, head, vhead, ls = lstm_all_weights(policy_params)
+    hidden = wh[0].shape[0]
+    bptt = bptt if bptt else T
+    assert T % bptt == 0, (T, bptt)
+    # (h, c) carry + snapshot + trajectory block working set: same
+    # hidden*lanes <= 128k f32 budget as the acting kernel (at H=128 /
+    # L=1024 the whole set is ~5 MB incl. double-buffered traj chunks),
+    # floored at 1024 so compiled runs always have a legal lane block
+    cap = max(1024, (131072 // max(hidden, 1)) // 128 * 128)
+    if lanes_per_block is not None:
+        cap = min(cap, lanes_per_block)
+    lanes_per_block = PR.pick_lanes_per_block(n, min(8192, cap))
+    if not interpret and lanes_per_block % 1024:
+        raise ValueError(
+            f"compiled policy kernels need 1024-aligned lane blocks "
+            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
+            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
+            f"interpret=True for small CPU runs.")
+    tc = time_chunk if time_chunk is not None else pick_time_chunk(bptt)
+    assert bptt % tc == 0, (bptt, tc)
+    final, out_carry, traj, seg, stats = _traj_run(
+        state, tuple(carry), (tuple(enc), wi, wh, bh, head, vhead), ls,
+        env_params, T=T, tc=tc, bptt=bptt, lanes_per_block=lanes_per_block,
+        task=statics.task, integrator=statics.integrator, n_enc=len(enc),
+        interpret=interpret, stochastic=stochastic)
+    return final, out_carry, traj, seg, PR._stats_dict(stats)
+
+
+def traj_lstm_rollout_reference(state: EnvState, policy_params, carry,
+                                env_params: EnvParams, statics: EnvStatics,
+                                T: int, bptt: int | None = None,
+                                stochastic: bool = True):
+    """jnp mirror of traj_lstm_rollout_pallas: same plane-space matmul
+    formulation ((H, in) @ (in, L) with pre-transposed kernels), same noise
+    stream, same expression order. In interpret mode on the CPU backend the
+    kernel matches this bitwise (single lane block). Returns
+    (final EnvState, final carry, Traj (T, B, ...), seg_carries, stats)."""
+    n = state.pos.shape[0]
+    enc, wi, wh, bh, head, vhead, ls_row = lstm_all_weights(policy_params)
+    hidden = wh[0].shape[0]
+    bptt = bptt if bptt else T
+    assert T % bptt == 0, (T, bptt)
+    ls = [ls_row[0, k] for k in range(4)]
+    c0 = jnp.asarray(carry[0], jnp.float32).T   # (H, N)
+    h0 = jnp.asarray(carry[1], jnp.float32).T
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def body(c, _):
+        s, h, cc = c
+        obs = jax.vmap(env_mod.observe)(s)            # (B, OBS_DIM)
+        X = obs.T
+        x = X
+        for w, b in enc:
+            x = jnp.tanh(dot(w, x) + b[:, None])
+        gi = jax.nn.sigmoid(dot(wi[0], x) + dot(wh[0], h) + bh[0][:, None])
+        gf = jax.nn.sigmoid(dot(wi[1], x) + dot(wh[1], h) + bh[1][:, None])
+        gg = jnp.tanh(dot(wi[2], x) + dot(wh[2], h) + bh[2][:, None])
+        go = jax.nn.sigmoid(dot(wi[3], x) + dot(wh[3], h) + bh[3][:, None])
+        cc2 = gf * cc + gi * gg
+        h2 = go * jnp.tanh(cc2)
+        mx = dot(head[0], h2) + head[1][:, None]
+        vx = dot(vhead[0], h2) + vhead[1][:, None]
+        m = [mx[k] for k in range(4)]
+        value = vx[0]
+        z = _gauss4_planes(s.key0, s.key1, s.reset_count, s.step,
+                           prng.bits_to_uniform)
+        a, logp = _sample_logp(m, z, ls, stochastic)
+        action = jnp.stack(a, axis=-1)
+        s2, out = jax.vmap(
+            lambda ss, aa: env_mod.step(ss, aa, env_params, statics)
+        )(s, action)
+        done = out.terminated | out.truncated
+        keep = (1.0 - done.astype(jnp.float32)).reshape(1, n)
+        tr = Traj(obs=obs, action=action, logp=logp, value=value,
+                  reward=out.reward, done=done)
+        aux = (jnp.where(done, out.ep_return, 0.0),
+               jnp.where(done, out.ep_length.astype(jnp.float32), 0.0),
+               cc, h)  # the carry ENTERING this step (anchor candidates)
+        return (s2, h2 * keep, cc2 * keep), (tr, aux)
+
+    (final, hT, cT), (traj, (ep_ret, ep_len, cs, hs)) = jax.lax.scan(
+        body, (state, h0, c0), None, length=T)
+    donef = traj.done.astype(jnp.float32)
+    stats = {
+        "reward_sum": jnp.sum(traj.reward),
+        "episodes": jnp.sum(donef),
+        "ep_return_sum": jnp.sum(ep_ret),
+        "ep_length_sum": jnp.sum(ep_len),
+        "ep_return_sq_sum": jnp.sum(ep_ret * ep_ret),
+    }
+    # anchors: the carries entering steps 0, bptt, 2*bptt, ...
+    seg = (cs[::bptt].transpose(0, 2, 1), hs[::bptt].transpose(0, 2, 1))
+    out_carry = (cT.T, hT.T)
+    return final, out_carry, traj, seg, stats
 
 
 def lstm_act_rollout_pallas(state: EnvState, policy_params, carry,

@@ -35,6 +35,7 @@ def make_sharded_train_step(
     trainer: str = "scan",
     interpret: bool = False,
     fused_optimizer: bool = True,
+    compute_dtype: str = "float32",
 ):
     """Returns jitted train_step(runner) -> (runner, metrics) over `mesh`.
 
@@ -55,21 +56,32 @@ def make_sharded_train_step(
     like DDP with per-worker samplers). runner.opt_state must be the fused
     adam state when fused_optimizer=True (ppo_pallas.init_fused_opt_state);
     interpret routes the kernels through the Pallas interpreter (CPU/
-    virtual-device testing).
+    virtual-device testing). trainer="pallas" + recurrent=True shards the
+    recurrent megakernel path instead: the LSTM trajectory rollout kernel
+    per device feeding the truncated-BPTT update (optax opt state).
     """
     n_dev = mesh.devices.size
     assert cfg.num_envs % n_dev == 0, (
         f"num_envs ({cfg.num_envs}) must divide the mesh size ({n_dev})"
     )
     per_dev = cfg.num_envs // n_dev
-    if trainer == "pallas":
-        assert not recurrent, "the megakernel trainer is MLP-only"
+    if trainer == "pallas" and recurrent:
+        # recurrent megakernel: LSTM trajectory rollout kernel per device,
+        # truncated-BPTT update + pmean'd grads as in the scan path
+        from drone_tpu import ppo_rnn
+
+        inner = ppo_rnn.make_recurrent_train_step(
+            apply_fn, optimizer, env_params, statics, cfg,
+            axis_name=axis, envs_per_device=per_dev,
+            rollout="pallas", rollout_interpret=interpret,
+        )
+    elif trainer == "pallas":
         from drone_tpu import ppo_pallas
 
         inner = ppo_pallas.make_pallas_train_step(
             optimizer, env_params, statics, cfg, axis_name=axis,
             envs_per_device=per_dev, interpret=interpret,
-            fused_optimizer=fused_optimizer,
+            fused_optimizer=fused_optimizer, compute_dtype=compute_dtype,
         )
     elif recurrent:
         from drone_tpu import ppo_rnn

@@ -103,12 +103,30 @@ def make_recurrent_train_step(
     cfg: ppo_mod.PPOConfig,
     axis_name: str | None = None,
     envs_per_device: int | None = None,
+    rollout: str = "scan",
+    rollout_interpret: bool = False,
 ):
     """Build the fused recurrent train step.
 
     apply_fn(params, obs, carry) -> (mean, log_std, value, carry')
     Returns train_step(RecurrentRunnerState) -> (RecurrentRunnerState, metrics).
+
+    rollout selects the data-collection engine:
+      - "scan":       policy-in-loop lax.scan (the baseline path; noise from
+                      the host PRNG key).
+      - "pallas":     ops/pallas_acting_lstm.traj_lstm_rollout_pallas — the
+                      fused LSTM+env megakernel streams the trajectory
+                      planes AND the per-segment BPTT carry anchors to HBM;
+                      the update phase is unchanged (segmented_forward
+                      truncated BPTT through flax). Exploration noise comes
+                      from the env's counter streams.
+      - "pallas_ref": the kernel's jnp mirror (bitwise contract with
+                      "pallas" in interpret mode on CPU).
+    rollout_interpret routes the kernel through the Pallas interpreter.
     """
+    if rollout not in ("scan", "pallas", "pallas_ref"):
+        raise ValueError(f"rollout must be 'scan', 'pallas' or 'pallas_ref',"
+                         f" got {rollout!r}")
     local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
     assert local_envs % cfg.num_minibatches == 0, (
         f"num_envs per device ({local_envs}) must divide into "
@@ -179,8 +197,7 @@ def make_recurrent_train_step(
             clipfrac=clipfrac,
         )
 
-    def train_step(runner: RecurrentRunnerState):
-        key, krollout, kperm = jax.random.split(runner.key, 3)
+    def collect_scan(runner, krollout):
         step_keys = jax.random.split(krollout, cfg.horizon)
         seg_keys = jax.tree_util.tree_map(
             lambda k: k.reshape(n_seg, bptt, *k.shape[1:]), step_keys)
@@ -202,6 +219,35 @@ def make_recurrent_train_step(
         # (S, bptt, B, ...) -> (T, B, ...)
         traj = jax.tree_util.tree_map(
             lambda x: x.reshape(cfg.horizon, *x.shape[2:]), traj)
+        return env_state, last_obs, last_carry, traj, seg_carries, None
+
+    def collect_kernel(runner):
+        from drone_tpu.ops import pallas_acting_lstm as PAL
+        from drone_tpu.ops.pallas_acting_traj import _planes_to_traj
+
+        if rollout == "pallas":
+            env_state, last_carry, planes, seg_carries, stats = \
+                PAL.traj_lstm_rollout_pallas(
+                    runner.env_state, runner.params, runner.carry,
+                    env_params, statics, cfg.horizon, bptt=bptt,
+                    interpret=rollout_interpret)
+            traj = _planes_to_traj(planes, local_envs)
+        else:
+            env_state, last_carry, traj, seg_carries, stats = \
+                PAL.traj_lstm_rollout_reference(
+                    runner.env_state, runner.params, runner.carry,
+                    env_params, statics, cfg.horizon, bptt=bptt)
+        last_obs = jax.vmap(env_mod.observe)(env_state)
+        return env_state, last_obs, last_carry, traj, seg_carries, stats
+
+    def train_step(runner: RecurrentRunnerState):
+        key, krollout, kperm = jax.random.split(runner.key, 3)
+        if rollout == "scan":
+            (env_state, last_obs, last_carry, traj, seg_carries,
+             k_stats) = collect_scan(runner, krollout)
+        else:
+            (env_state, last_obs, last_carry, traj, seg_carries,
+             k_stats) = collect_kernel(runner)
 
         _, _, last_value, _ = apply_fn(runner.params, last_obs, last_carry)
         adv, ret = ppo_mod.compute_gae(
@@ -256,9 +302,14 @@ def make_recurrent_train_step(
         )
 
         # psum count-like quantities to global totals (see ppo.py metrics note)
-        n_done = jnp.sum(traj.done)
-        ep_ret_sum = jnp.sum(traj.ep_return)
-        ep_len_sum = jnp.sum(traj.ep_length)
+        if k_stats is None:
+            n_done = jnp.sum(traj.done).astype(jnp.float32)
+            ep_ret_sum = jnp.sum(traj.ep_return)
+            ep_len_sum = jnp.sum(traj.ep_length).astype(jnp.float32)
+        else:  # the kernel accumulates episode stats on-chip
+            n_done = k_stats["episodes"]
+            ep_ret_sum = k_stats["ep_return_sum"]
+            ep_len_sum = k_stats["ep_length_sum"]
         if axis_name is not None:
             n_done = jax.lax.psum(n_done, axis_name)
             ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
@@ -266,7 +317,7 @@ def make_recurrent_train_step(
         metrics = dict(
             loss=jnp.mean(losses),
             reward_mean=jnp.mean(traj.reward),
-            episodes=n_done.astype(jnp.float32),
+            episodes=n_done,
             ep_return_mean=ep_ret_sum / jnp.maximum(n_done, 1),
             ep_length_mean=ep_len_sum / jnp.maximum(n_done, 1),
             **{k: jnp.mean(v) for k, v in auxes.items()},

@@ -70,28 +70,35 @@ def build(cfg: Config):
 
     n_dev = len(jax.devices())
     backend = jax.default_backend()
-    eligible = (cfg.run.policy == "mlp"
-                and cfg.train.num_envs
-                % (128 * cfg.train.num_minibatches) == 0)
-    if backend != "cpu":
-        # compiled kernels need 1024-aligned lane blocks (Mosaic reshape
-        # rule); interpret mode on CPU accepts any 128-multiple
-        eligible = eligible and cfg.train.num_envs % 1024 == 0
-    if cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0:
-        # per-device lane shard must satisfy the trainer's shape rules
-        eligible = eligible and (cfg.train.num_envs // n_dev) % (
-            128 * cfg.train.num_minibatches) == 0
+    use_mesh = cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0
+    local_envs = cfg.train.num_envs // n_dev if use_mesh else cfg.train.num_envs
+    # compiled kernels need 1024-aligned lane blocks (Mosaic reshape rule);
+    # interpret mode on CPU accepts any 128-multiple
+    lane_mult = 128 if backend == "cpu" else 1024
+    if cfg.run.policy == "mlp":
+        # megakernel PPO trainer: rollout + update + adam kernels. Compiled
+        # runs need 8-row (1024-lane) minibatch tiles on top of the
+        # 1024-aligned lane blocks, hence lane_mult * num_minibatches.
+        eligible = (local_envs % (lane_mult * cfg.train.num_minibatches) == 0
+                    and local_envs % lane_mult == 0)
+    elif recurrent:
+        # recurrent megakernel rollout feeding the truncated-BPTT update
+        eligible = (local_envs % lane_mult == 0
+                    and local_envs % cfg.train.num_minibatches == 0)
+    else:
+        eligible = False
     if cfg.run.rollout == "auto":
-        # megakernel trainer on real TPU silicon when the batch shape
-        # allows; the scan trainer everywhere else
+        # megakernel trainers on real TPU silicon when the batch shape
+        # allows; the scan trainers everywhere else
         use_pallas = eligible and backend in ("tpu", "axon")
     elif cfg.run.rollout == "pallas":
         if not eligible:
             raise ValueError(
-                "run.rollout='pallas' needs the MLP policy and num_envs "
-                f"divisible by 128*num_minibatches (got policy="
+                "run.rollout='pallas' needs the MLP policy (num_envs "
+                "divisible by 128*num_minibatches) or the LSTM policy "
+                f"(num_envs divisible by 128), got policy="
                 f"{cfg.run.policy!r}, num_envs={cfg.train.num_envs}, "
-                f"num_minibatches={cfg.train.num_minibatches})")
+                f"num_minibatches={cfg.train.num_minibatches}")
         use_pallas = True
     elif cfg.run.rollout == "scan":
         use_pallas = False
@@ -99,11 +106,11 @@ def build(cfg: Config):
         raise ValueError(f"run.rollout must be 'scan', 'pallas' or 'auto', "
                          f"got {cfg.run.rollout!r}")
 
-    if cfg.run.mesh and n_dev > 1 and cfg.train.num_envs % n_dev == 0:
+    if use_mesh:
         from drone_tpu import ppo_pallas
 
         mesh = make_mesh()
-        if use_pallas:
+        if use_pallas and not recurrent:
             runner = runner.replace(
                 opt_state=ppo_pallas.init_fused_opt_state(runner.params))
         runner = place_runner(mesh, runner)
@@ -112,13 +119,21 @@ def build(cfg: Config):
             example_runner=runner, recurrent=recurrent,
             trainer="pallas" if use_pallas else "scan",
             interpret=backend == "cpu",
+            compute_dtype=cfg.run.compute_dtype,
         )
+    elif use_pallas and recurrent:
+        from drone_tpu import ppo_rnn
+
+        mesh = None
+        step = jax.jit(ppo_rnn.make_recurrent_train_step(
+            model.apply, opt, env.params, env.statics, cfg.train,
+            rollout="pallas", rollout_interpret=backend == "cpu"))
     elif use_pallas:
         from drone_tpu import ppo_pallas
 
         mesh = None
-        # NOTE: the fused-adam opt state is a different pytree than optax's
-        # — resume works within a trainer, not across trainer kinds
+        # the fused-adam opt state is a different pytree than optax's;
+        # cross-trainer resume converts it (see _restore_any_trainer)
         runner = runner.replace(
             opt_state=ppo_pallas.init_fused_opt_state(runner.params))
         step = jax.jit(ppo_pallas.make_pallas_train_step(
@@ -133,6 +148,50 @@ def build(cfg: Config):
     return env, model, opt, runner, step, mesh
 
 
+def _restore_any_trainer(restorer, runner, opt, cfg):
+    """Restore a checkpoint, converting the optimizer state when it was
+    written by the OTHER trainer kind (scan/optax <-> megakernel/fused-adam).
+
+    The two states hold the same adam moments — the fused layout is the
+    params layout transposed (ppo_pallas._kernel_tensors) — so conversion
+    preserves momentum bitwise; without it, orbax dies on the tree-structure
+    mismatch deep inside StandardRestore. Reference parity: the reference's
+    *.pt resume is trainer-agnostic (SURVEY.md §5 checkpoint/resume)."""
+    from drone_tpu import ppo_pallas
+
+    try:
+        return restorer.restore(runner)
+    except Exception as e:  # noqa: BLE001 — orbax raises various types
+        if cfg.run.policy == "lstm":
+            raise RuntimeError(
+                f"checkpoint at {restorer.dir} does not match this "
+                f"recurrent run's training state (saved by a different "
+                f"policy/num_envs config?)") from e
+        first_err = e
+    cur_fused = ppo_pallas.is_fused_opt_state(runner.opt_state)
+    alt_opt_state = (opt.init(runner.params) if cur_fused
+                     else ppo_pallas.init_fused_opt_state(runner.params))
+    alt = runner.replace(opt_state=alt_opt_state)
+    try:
+        restored, step = restorer.restore(alt)
+    except Exception:
+        raise RuntimeError(
+            f"checkpoint at {restorer.dir} matches neither trainer layout "
+            f"(scan/optax or megakernel/fused-adam) for this run's "
+            f"training state. Common cause: different policy, hidden "
+            f"sizes, or num_envs between the saving and resuming configs."
+        ) from first_err
+    if cur_fused:
+        conv = ppo_pallas.optax_to_fused_opt_state(restored.opt_state)
+        kind = "scan/optax -> megakernel/fused-adam"
+    else:
+        conv = ppo_pallas.fused_to_optax_opt_state(
+            opt, restored.params, restored.opt_state)
+        kind = "megakernel/fused-adam -> scan/optax"
+    print(f"converted optimizer state ({kind}; adam moments preserved)")
+    return restored.replace(opt_state=conv), step
+
+
 def train(cfg: Config, on_update=None):
     """Run cfg.run.total_updates updates. Returns (runner, final_metrics)."""
     env, model, opt, runner, step, mesh = build(cfg)
@@ -142,7 +201,7 @@ def train(cfg: Config, on_update=None):
     start_update = 0
     if cfg.run.resume_from:
         restorer = Checkpointer(cfg.run.resume_from)
-        runner, start_update = restorer.restore(runner)
+        runner, start_update = _restore_any_trainer(restorer, runner, opt, cfg)
         print(f"resumed from {cfg.run.resume_from} at update {start_update}")
 
     metrics_path = cfg.run.metrics_path or (run_dir / "metrics.jsonl")

@@ -178,6 +178,35 @@ def test_sharded_megakernel_trainer():
     assert float(runner.opt_state[0]) == 2 * 2 * 2
 
 
+def test_sharded_recurrent_megakernel_trainer():
+    """DP recurrent trainer with the LSTM trajectory KERNEL rollout over the
+    8-device virtual mesh (interpret): runs, stays finite, params stay
+    replicated — the megakernel trainer is no longer MLP-only."""
+    from drone_tpu import ppo_rnn
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.parallel.mesh import place_runner
+
+    env = drone_tpu.DroneEnv()
+    model = LSTMActorCritic(hidden=16, encoder=(16,))
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=8 * 128, epochs=1,
+                            num_minibatches=2, bptt_horizon=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+    mesh = make_mesh()
+    runner = place_runner(mesh, runner)
+    step = make_sharded_train_step(
+        model.apply, opt, env.params, env.statics, cfg, mesh,
+        example_runner=runner, recurrent=True, trainer="pallas",
+        interpret=True)
+    for _ in range(2):
+        runner, m = step(runner)
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(runner.params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(shards[0], sh)
+
+
 def test_train_build_sharded_pallas(tmp_path):
     """run.rollout=pallas + mesh routes through the sharded megakernel
     trainer end to end."""
