@@ -15,10 +15,11 @@ from drone_tpu.train import train
 from drone_tpu.utils.config import Config
 
 
-def _cfg(tmp_path, name, total, ckpt_every, resume_from=""):
+def _cfg(tmp_path, name, total, ckpt_every, resume_from="", extra=()):
     cfg = Config.default().with_overrides([
         "train.num_envs=64", "train.horizon=8", "train.epochs=2",
         "train.num_minibatches=2", "run.mesh=false", "run.log_interval=100",
+        *extra,
     ])
     cfg.run.checkpoint_dir = str(tmp_path)
     cfg.run.run_name = name
@@ -52,6 +53,94 @@ def test_resume_is_bitwise_exact(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(runner_a.env_state),
                     jax.tree_util.tree_leaves(runner_b.env_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_opt_state_converters_roundtrip_bitwise():
+    """optax <-> fused adam state conversion preserves the moments bit for
+    bit (the two layouts hold the same tensors, transposed/reshaped)."""
+    from drone_tpu import ppo_pallas
+
+    env = drone_tpu.DroneEnv()
+    model = ActorCritic(hidden=(16, 16))
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=64, epochs=2,
+                            num_minibatches=2, anneal_lr=True,
+                            total_updates=10)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=7)
+    step = jax.jit(ppo_mod.make_train_step(
+        model.apply, opt, env.params, env.statics, cfg))
+    for _ in range(2):
+        runner, _ = step(runner)  # non-trivial moments
+
+    fused = ppo_pallas.optax_to_fused_opt_state(runner.opt_state)
+    assert ppo_pallas.is_fused_opt_state(fused)
+    assert not ppo_pallas.is_fused_opt_state(runner.opt_state)
+    assert float(fused[0]) == 2 * 2 * 2  # updates*epochs*minibatches
+    # moments match the direct kernel-layout extraction bitwise
+    import optax as _optax
+
+    adam = ppo_pallas._find_state(runner.opt_state, _optax.ScaleByAdamState)
+    mu_t, _, _ = ppo_pallas._kernel_tensors(adam.mu)
+    for a, b in zip(fused[1], mu_t):
+        np.testing.assert_array_equal(np.asarray(a).view(np.uint32),
+                                      np.asarray(b).view(np.uint32))
+    # round trip back to optax: bitwise-identical tree (incl. both counts)
+    back = ppo_pallas.fused_to_optax_opt_state(opt, runner.params, fused)
+    assert (jax.tree_util.tree_structure(back)
+            == jax.tree_util.tree_structure(runner.opt_state))
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(runner.opt_state)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cross_trainer_resume_both_directions(tmp_path):
+    """A checkpoint written under one trainer resumes under the other with
+    optimizer momentum carried over (VERDICT r2 missing #2): scan/optax ->
+    megakernel/fused-adam and the reverse, through the train() driver."""
+    from drone_tpu import ppo_pallas
+
+    mk = ["train.num_envs=256"]  # megakernel-eligible batch shape
+
+    # scan -> pallas
+    train(_cfg(tmp_path, "sc", 2, 2, extra=mk + ["run.rollout=scan"]))
+    rb, last = train(_cfg(
+        tmp_path, "sc2pal", 4, 100,
+        resume_from=str(tmp_path / "sc" / "checkpoints"),
+        extra=mk + ["run.rollout=pallas"]))
+    assert ppo_pallas.is_fused_opt_state(rb.opt_state)
+    assert int(rb.update_idx) == 4
+    # momentum carried: count continued from 8 (2u*2e*2mb), not from 0
+    assert float(rb.opt_state[0]) == 16.0
+    assert np.isfinite(last["loss"])
+
+    # pallas -> scan
+    train(_cfg(tmp_path, "pal", 2, 2, extra=mk + ["run.rollout=pallas"]))
+    rc, last2 = train(_cfg(
+        tmp_path, "pal2sc", 4, 100,
+        resume_from=str(tmp_path / "pal" / "checkpoints"),
+        extra=mk + ["run.rollout=scan"]))
+    assert not ppo_pallas.is_fused_opt_state(rc.opt_state)
+    assert int(rc.update_idx) == 4
+    import optax as _optax
+
+    adam = ppo_pallas._find_state(rc.opt_state, _optax.ScaleByAdamState)
+    assert int(adam.count) == 16
+    assert np.isfinite(last2["loss"])
+
+
+def test_incompatible_checkpoint_fails_with_clear_error(tmp_path):
+    """A checkpoint whose shapes match neither trainer layout raises an
+    actionable RuntimeError, not an orbax structure traceback."""
+    import pytest
+
+    train(_cfg(tmp_path, "small", 2, 2))  # num_envs=64, hidden (16,16)
+    bad = _cfg(tmp_path, "bad", 4, 100,
+               resume_from=str(tmp_path / "small" / "checkpoints"),
+               extra=["train.num_envs=256"])
+    bad.run.hidden = (32, 32)  # template can't match in either layout
+    with pytest.raises(RuntimeError, match="neither trainer layout"):
+        train(bad)
 
 
 def test_resume_megakernel_trainer_bitwise(tmp_path):
