@@ -47,6 +47,13 @@ def main(argv=None):
                        help="dotted overrides, e.g. train.lr=1e-4 env.task=waypoint")
         if name == "export":
             p.add_argument("--out", default="policy.drnw")
+        if name == "sweep":
+            p.add_argument("--out", default=None,
+                           help="results JSON path (default: "
+                                "<checkpoint_dir>/<run_name>-sweep.json)")
+            p.add_argument("--resume", action="store_true",
+                           help="replay the sweep journal and continue an "
+                                "interrupted sweep")
     args = parser.parse_args(argv)
     cfg = _load_config(args)
 
@@ -74,11 +81,16 @@ def main(argv=None):
             spec.loader.exec_module(bench)
         bench.main(cfg)
     elif args.cmd == "sweep":
+        from pathlib import Path
+
         from drone_tpu.sweep import run_sweep
 
-        results = run_sweep(cfg)
+        out = args.out or str(Path(cfg.run.checkpoint_dir)
+                              / f"{cfg.run.run_name}-sweep.json")
+        results = run_sweep(cfg, out_path=out, resume=args.resume)
         best = results[0]
         print("best:", json.dumps(best))
+        print(f"results: {out} (journal: {out}.jsonl)")
     elif args.cmd == "export":
         from pathlib import Path
 

@@ -9,12 +9,23 @@ model, repeats). Capability parity here:
     the unit-cube encoding of the search space, suggesting the
     expected-improvement maximizer over a candidate pool (half global
     random, half perturbations of the incumbent). No new dependencies.
+  - **Cost-aware acquisition** (`suggester = "gp_pareto"`): a second GP fits
+    the observed per-trial cost (wall-clock seconds) and suggestion
+    maximizes EI *per unit predicted cost* — Protein's defining behavior:
+    the cost/score tradeoff shapes WHICH points get suggested, not just how
+    results are reported. At equal EI the cheaper region wins.
   - **Successive halving** across fidelity rungs (updates per trial), as
     before — the GP drives WHICH points enter rung 0, halving decides who
-    gets more budget.
+    gets more budget. Final ranking is fidelity-aware: trials are ranked by
+    (rungs completed, last score), so a noisy rung-0 score never outranks a
+    survivor's top-rung score.
   - **Cost-aware Pareto front**: every result carries (cost = total updates
     spent, score); `pareto_front` reports the non-dominated set, Protein's
     cost/score tradeoff surface.
+  - **Durable sweeps**: every completed trial appends one record to a JSONL
+    journal next to `out_path` as it finishes; `resume=True` replays the
+    journal (suggester observations included) and skips the work already
+    done — a crash at trial 15/16 costs one trial, not the sweep.
   - **Parallel trial launcher**: `workers > 1` evaluates trials in
     process-parallel batches (suggest a batch, run via
     ProcessPoolExecutor, observe all). Meant for CPU-backend sweeps or
@@ -26,7 +37,7 @@ model, repeats). Capability parity here:
       trials = 16
       rungs = [50, 200]               # updates per fidelity rung
       keep = 0.5                      # fraction promoted per rung
-      suggester = "gp"                # "gp" | "random"
+      suggester = "gp"                # "gp" | "gp_pareto" | "random"
       workers = 1
       [sweep.space]
       "train.lr" = {log = [1e-4, 1e-2]}
@@ -37,9 +48,11 @@ model, repeats). Capability parity here:
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import random
+import time
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
@@ -83,7 +96,7 @@ class GPSuggester:
 
     def __init__(self, space: dict, seed: int = 0, length_scale: float = 0.3,
                  noise: float = 1e-2, candidates: int = 256, xi: float = 0.01,
-                 n_init: int | None = None):
+                 n_init: int | None = None, cost_aware: bool = False):
         self.space = space
         self.keys = sorted(space)
         self.rng = random.Random(seed)
@@ -93,8 +106,11 @@ class GPSuggester:
         self.candidates = candidates
         self.xi = xi
         self.n_init = n_init if n_init is not None else max(4, len(self.keys))
+        self.cost_aware = cost_aware
         self.X: list[np.ndarray] = []
         self.y: list[float] = []
+        self.costs: list[float] = []      # observed wall-clock seconds
+        self._worst_finite: float | None = None
 
     # -- encoding ------------------------------------------------------------
     def _encode(self, point: dict) -> np.ndarray:
@@ -160,6 +176,25 @@ class GPSuggester:
         phi = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
         return (mu - best - self.xi) * Phi + s * phi
 
+    def _predict_cost(self, U: np.ndarray, X: np.ndarray) -> np.ndarray:
+        """Posterior-mean wall-clock cost at the candidates (log-space GP so
+        the prediction is positive and multiplicative effects are additive);
+        falls back to 1.0 (cost-neutral) until costs are observed."""
+        c = np.asarray(self.costs, dtype=float)
+        good = np.isfinite(c) & (c > 0)
+        if good.sum() < 2:
+            return np.ones(len(U))
+        Xg = X[good]
+        lc = np.log(c[good])
+        mu, sd = lc.mean(), lc.std()
+        sd = sd if sd > 1e-12 else 1.0
+        lcs = (lc - mu) / sd
+        K = self._kernel(Xg, Xg) + (self.noise + 1e-8) * np.eye(len(Xg))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, lcs))
+        pred = self._kernel(U, Xg) @ alpha * sd + mu
+        return np.exp(pred)
+
     # -- public API ----------------------------------------------------------
     def suggest(self) -> dict:
         if len(self.X) < self.n_init:
@@ -171,14 +206,28 @@ class GPSuggester:
         local = incumbent[None, :] + 0.1 * self.np_rng.standard_normal(
             (self.candidates - n_rand, len(self.keys)))
         U = np.clip(np.concatenate([U, local]), 0.0, 1.0)
-        ei = self._ei(U, X, ys, L, alpha)
-        return self._decode(U[int(np.argmax(ei))])
+        acq = self._ei(U, X, ys, L, alpha)
+        if self.cost_aware:
+            # Protein-style Pareto pressure: improvement per unit cost, so
+            # at equal EI the cheaper region wins the suggestion
+            acq = acq / np.maximum(self._predict_cost(U, X), 1e-9)
+        return self._decode(U[int(np.argmax(acq))])
 
-    def observe(self, point: dict, score: float):
+    def observe(self, point: dict, score: float, cost: float = float("nan")):
+        """Record a result. cost: trial wall-clock seconds (used only by
+        cost_aware acquisition; NaN = unknown)."""
         if not math.isfinite(score):
-            score = min(self.y, default=0.0) - 1.0  # learn to avoid, finitely
+            # learn to avoid the region, finitely: one step below the worst
+            # REAL score (penalizing off min(self.y) would ratchet, since
+            # self.y already contains prior penalties)
+            score = (self._worst_finite if self._worst_finite is not None
+                     else 0.0) - 1.0
+        else:
+            self._worst_finite = (score if self._worst_finite is None
+                                  else min(self._worst_finite, score))
         self.X.append(self._encode(point))
         self.y.append(float(score))
+        self.costs.append(float(cost))
 
 
 def pareto_front(results: list[dict], cost_key: str = "cost",
@@ -212,14 +261,48 @@ def _default_train_fn(cfg):
     return _train(cfg)[1]
 
 
+def _timed_call(train_fn, cfg):
+    t0 = time.perf_counter()
+    final = train_fn(cfg)
+    return final, time.perf_counter() - t0
+
+
+def _read_journal(path: Path) -> dict:
+    """Journal JSONL -> {(rung, idx): record}. Tolerates a torn final line
+    (the crash that motivated the journal)."""
+    done = {}
+    if path.exists():
+        for line in path.read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn write at crash time
+            done[(int(rec["rung"]), int(rec["idx"]))] = rec
+    return done
+
+
 def run_sweep(cfg: Config, out_path: str | Path | None = None,
-              train_fn=None, workers: int | None = None) -> list[dict]:
+              train_fn=None, workers: int | None = None,
+              resume: bool = False,
+              journal_path: str | Path | None = None) -> list[dict]:
     """GP-guided (or random) search with successive halving.
 
-    Returns trial records sorted best-first; each record carries point,
-    per-rung scores, total cost (updates spent), and whether it sits on the
-    cost/score Pareto front. train_fn(cfg) -> final metrics dict
-    (injectable for tests; must be module-level picklable for workers > 1).
+    Returns trial records sorted best-first (fidelity-aware: by rungs
+    completed, then by the score at the highest rung reached — a noisy
+    rung-0 score never outranks a survivor's top-rung score); each record
+    carries point, per-rung scores, total cost (updates spent), and whether
+    it sits on the cost/score Pareto front. train_fn(cfg) -> final metrics
+    dict (injectable for tests; must be module-level picklable for
+    workers > 1).
+
+    Durability: every completed trial appends one line to `journal_path`
+    (default: `<out_path>.jsonl`, else
+    `<checkpoint_dir>/<run_name>-sweep.jsonl`) as it finishes; with
+    resume=True, journaled (rung, idx) trials are replayed — suggester
+    observations included — instead of re-trained.
     """
     train_fn = train_fn or _default_train_fn
     sweep = dict(cfg.sweep)
@@ -233,74 +316,123 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
     if not space:
         raise ValueError("[sweep.space] is empty — nothing to search")
 
+    if journal_path is not None:
+        journal = Path(journal_path)
+    elif out_path is not None:
+        journal = Path(out_path).with_suffix(Path(out_path).suffix + ".jsonl")
+    else:
+        journal = (Path(cfg.run.checkpoint_dir)
+                   / f"{cfg.run.run_name}-sweep.jsonl")
+    journal.parent.mkdir(parents=True, exist_ok=True)
+    done = _read_journal(journal) if resume else {}
+    if not resume and journal.exists():
+        journal.unlink()  # a fresh sweep must not inherit a stale journal
+
+    def journal_write(rec: dict):
+        with journal.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+
     rng = random.Random(cfg.run.seed)
-    if suggester_kind == "gp":
-        sug = GPSuggester(space, seed=cfg.run.seed)
+    if suggester_kind in ("gp", "gp_pareto"):
+        sug = GPSuggester(space, seed=cfg.run.seed,
+                          cost_aware=suggester_kind == "gp_pareto")
     elif suggester_kind == "random":
         sug = None
     else:
-        raise ValueError(f"sweep.suggester must be 'gp' or 'random', got "
-                         f"{suggester_kind!r}")
+        raise ValueError(f"sweep.suggester must be 'gp', 'gp_pareto' or "
+                         f"'random', got {suggester_kind!r}")
 
     def score_of(final) -> float:
         s = float(final.get(metric, float("-inf"))) if final else float("-inf")
         return float("-inf") if math.isnan(s) else s
 
+    def run_batch(cfgs):
+        """-> [(final_metrics, seconds)]"""
+        if workers > 1 and len(cfgs) > 1:
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                return list(ex.map(functools.partial(_timed_call, train_fn),
+                                   cfgs))
+        return [_timed_call(train_fn, c) for c in cfgs]
+
+    def record(rung, idx, point, score, seconds):
+        if sug:
+            sug.observe(point, score, cost=seconds)
+        journal_write({"rung": rung, "idx": idx, "point": point,
+                       "score": score, "seconds": seconds})
+        print(f"[sweep] rung {rung} trial {idx}: {metric}={score:.3f} "
+              f"point={point}")
+
     # -- rung 0: suggestion-driven, in parallel batches ----------------------
     population = []
     i = 0
     while i < trials:
+        # replay journaled trials in order (their points feed the suggester
+        # exactly as the original run's did), batch up the missing ones
+        if (0, i) in done:
+            rec = done[(0, i)]
+            s = rec["score"] if rec["score"] is not None else float("-inf")
+            if sug:
+                sug.observe(rec["point"], s, cost=rec.get("seconds",
+                                                          float("nan")))
+            population.append({"point": rec["point"], "scores": [s],
+                               "cost": int(rungs[0])})
+            i += 1
+            continue
         batch = []
-        for _ in range(min(workers, trials - i)):
+        for j in range(min(workers, trials - i)):
+            if (0, i + j) in done:
+                break  # keep replay ordering intact
             point = sug.suggest() if sug else sample_point(space, rng)
             batch.append(point)
         cfgs = [_trial_cfg(cfg, p, rungs[0],
                            f"{cfg.run.run_name}-sweep-r0-t{i + j}")
                 for j, p in enumerate(batch)]
-        if workers > 1:
-            with ProcessPoolExecutor(max_workers=workers) as ex:
-                finals = list(ex.map(train_fn, cfgs))
-        else:
-            finals = [train_fn(c) for c in cfgs]
-        for j, (point, final) in enumerate(zip(batch, finals)):
+        for j, (point, (final, secs)) in enumerate(zip(batch,
+                                                       run_batch(cfgs))):
             s = score_of(final)
-            if sug:
-                sug.observe(point, s)
+            record(0, i + j, point, s, secs)
             population.append({"point": point, "scores": [s],
                                "cost": int(rungs[0])})
-            print(f"[sweep] rung 0 trial {i + j}: {metric}={s:.3f} "
-                  f"point={point}")
         i += len(batch)
 
     # -- later rungs: successive halving of the survivors --------------------
     for rung_idx, updates in enumerate(rungs[1:], start=1):
         population.sort(key=lambda t: -t["scores"][-1])
         survivors = population[: max(1, int(len(population) * keep))]
+        todo = [(j, t) for j, t in enumerate(survivors)
+                if (rung_idx, j) not in done]
+        for j, t in enumerate(survivors):
+            if (rung_idx, j) in done:
+                rec = done[(rung_idx, j)]
+                s = (rec["score"] if rec["score"] is not None
+                     else float("-inf"))
+                t["scores"].append(s)
+                t["cost"] += int(updates)
+                if sug:
+                    sug.observe(t["point"], s,
+                                cost=rec.get("seconds", float("nan")))
         cfgs = [_trial_cfg(cfg, t["point"], updates,
                            f"{cfg.run.run_name}-sweep-r{rung_idx}-t{j}")
-                for j, t in enumerate(survivors)]
-        if workers > 1:
-            with ProcessPoolExecutor(max_workers=workers) as ex:
-                finals = list(ex.map(train_fn, cfgs))
-        else:
-            finals = [train_fn(c) for c in cfgs]
-        for j, (t, final) in enumerate(zip(survivors, finals)):
+                for j, t in todo]
+        for (j, t), (final, secs) in zip(todo, run_batch(cfgs)):
             s = score_of(final)
             t["scores"].append(s)
             t["cost"] += int(updates)
-            if sug:
-                sug.observe(t["point"], s)
-            print(f"[sweep] rung {rung_idx} trial {j}: {metric}={s:.3f} "
-                  f"point={t['point']}")
+            record(rung_idx, j, t["point"], s, secs)
 
-    population.sort(key=lambda t: -t["scores"][-1])
+    # fidelity-aware ranking: a trial promoted through more rungs ranks
+    # above any trial that stalled earlier, regardless of raw score
+    population.sort(key=lambda t: (-len(t["scores"]), -t["scores"][-1]))
     for t in population:
         t["score"] = t["scores"][-1]
+        t["rungs_completed"] = len(t["scores"])
     front = pareto_front(population)
     for t in population:
         t["pareto"] = t in front
     results = [{k: t[k] for k in ("point", "scores", "score", "cost",
-                                  "pareto")} for t in population]
+                                  "rungs_completed", "pareto")}
+               for t in population]
     if out_path:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         Path(out_path).write_text(json.dumps(results, indent=2))

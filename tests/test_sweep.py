@@ -117,6 +117,102 @@ def test_run_sweep_parallel_workers():
     assert results[0]["score"] == max(r["score"] for r in results)
 
 
+def test_cost_aware_acquisition_prefers_cheap_region():
+    """gp_pareto parity gate: with a FLAT objective (equal EI everywhere)
+    and observed costs 10x higher in one half of the space, suggestions
+    concentrate in the cheap half — the cost model drives suggestion, not
+    just reporting."""
+    rng = random.Random(0)
+    sug = GPSuggester(SPACE, seed=0, n_init=2, cost_aware=True)
+    for _ in range(12):
+        p = sample_point(SPACE, rng)
+        cost = 10.0 if p["train.clip_eps"] > 0.5 else 1.0
+        sug.observe(p, 0.0, cost=cost)
+    cheap = sum(sug.suggest()["train.clip_eps"] <= 0.5 for _ in range(10))
+    assert cheap >= 8, cheap
+    # and the plain-EI suggester shows no such preference on the same data
+    base = GPSuggester(SPACE, seed=0, n_init=2, cost_aware=False)
+    rng = random.Random(0)
+    for _ in range(12):
+        p = sample_point(SPACE, rng)
+        base.observe(p, 0.0)
+    cheap_base = sum(base.suggest()["train.clip_eps"] <= 0.5
+                     for _ in range(10))
+    assert cheap_base < cheap
+
+
+def test_failure_penalty_does_not_ratchet():
+    """Consecutive failures all map to (worst real score - 1), not a
+    staircase down through prior penalties."""
+    sug = GPSuggester(SPACE, seed=1, n_init=2)
+    sug.observe(sample_point(SPACE, random.Random(1)), -2.0)
+    for _ in range(4):
+        sug.observe(sample_point(SPACE, random.Random(2)), float("nan"))
+    assert sug.y[1:] == [-3.0, -3.0, -3.0, -3.0]
+
+
+def test_sweep_journal_and_resume(tmp_path):
+    """A sweep interrupted mid-run resumes from its journal: completed
+    trials are replayed, only the remainder re-trains."""
+    cfg = Config.default()
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.sweep = {"metric": "score", "trials": 6, "rungs": [1, 2],
+                 "keep": 0.5, "space": SPACE, "suggester": "gp"}
+    out = tmp_path / "results.json"
+
+    calls = []
+
+    def crashy(c):
+        if len(calls) >= 4:
+            raise RuntimeError("simulated crash at trial 4")
+        calls.append(c.run.run_name)
+        return _fake_train(c)
+
+    try:
+        run_sweep(cfg, out_path=out, train_fn=crashy)
+        raise AssertionError("crash did not fire")
+    except RuntimeError:
+        pass
+    journal = tmp_path / "results.json.jsonl"
+    assert journal.exists()
+    assert len(journal.read_text().splitlines()) == 4
+
+    def counting(c):
+        calls.append(c.run.run_name)
+        return _fake_train(c)
+
+    results = run_sweep(cfg, out_path=out, train_fn=counting, resume=True)
+    # 6 rung-0 + 3 survivors = 9 trainings total; 4 were journaled
+    assert len(calls) == 9
+    assert len(results) == 6
+    assert out.exists()
+    assert len(journal.read_text().splitlines()) == 9
+    # and the journal replays cleanly: resuming a COMPLETE sweep retrains 0
+    n_before = len(calls)
+    results2 = run_sweep(cfg, out_path=out, train_fn=counting, resume=True)
+    assert len(calls) == n_before
+    assert [r["point"] for r in results2] == [r["point"] for r in results]
+
+
+def test_final_ranking_is_fidelity_aware(tmp_path):
+    """A noisy rung-0 score can't outrank a survivor's top-rung score: the
+    ranking orders by rungs completed first."""
+    cfg = Config.default()
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.sweep = {"metric": "score", "trials": 8, "rungs": [1, 3],
+                 "keep": 0.25, "space": SPACE, "suggester": "random"}
+
+    def decaying(c):
+        # top-rung scores come out LOWER than every rung-0 score
+        base = _fake_train(c)["score"]
+        return {"score": base - (100.0 if c.run.total_updates > 1 else 0.0)}
+
+    results = run_sweep(cfg, train_fn=decaying)
+    assert results[0]["rungs_completed"] == 2
+    assert results[0]["score"] < min(
+        r["score"] for r in results if r["rungs_completed"] == 1)
+
+
 def test_run_sweep_gp_end_to_end():
     """GP-driven sweep through the real run_sweep plumbing (fake trainer):
     finds a near-optimal point within 12 cheap trials."""
