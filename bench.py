@@ -106,6 +106,50 @@ def bench_policy_rollout(env, N=131072, T=256, iters=4):
     return N * T * iters / (time.perf_counter() - t0)
 
 
+def bench_traj_rollout(env, N=65536, T=128, iters=4):
+    """Trajectory-emitting rollout kernel alone (the megakernel trainer's
+    rollout phase): fused policy+env with the full PPO training planes
+    streamed to HBM in the kernel-natural layout."""
+    from drone_tpu.models import ActorCritic
+    from drone_tpu.ops.pallas_acting_traj import traj_act_rollout_pallas_planes
+
+    model = ActorCritic()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, env.obs_dim), jnp.float32))
+    state = env.init_batch(0, N)
+    state, planes, stats = traj_act_rollout_pallas_planes(
+        state, params, env.params, env.statics, T)
+    float(stats["reward_sum"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, planes, stats = traj_act_rollout_pallas_planes(
+            state, params, env.params, env.statics, T)
+    float(stats["reward_sum"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
+def bench_lstm_acting(env, N=131072, T=512, iters=2):
+    """Fused LSTM-policy + env acting kernel (recurrent serving path)."""
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.ops import lstm_act_rollout_pallas
+
+    model = LSTMActorCritic()
+    carry = model.initial_carry((N,))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, env.obs_dim), jnp.float32),
+        jax.tree_util.tree_map(lambda c: c[:1], carry))
+    state = env.init_batch(0, N)
+    state, carry, stats = lstm_act_rollout_pallas(
+        state, params, carry, env.params, env.statics, T)
+    float(stats["reward_sum"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, carry, stats = lstm_act_rollout_pallas(
+            state, params, carry, env.params, env.statics, T)
+    float(stats["reward_sum"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
 def bench_train_pallas(env, N=65536, T=128, iters=3):
     """Full fused PPO train step (megakernel trainer: rollout kernel + GAE +
     update kernel + fused adam) — train-SPS, the BASELINE.json:10 metric."""
@@ -148,27 +192,35 @@ def main(cfg=None):
     mega = bench_megakernel(env)
     acting = bench_acting_megakernel(env)
     policy = bench_policy_rollout(env)
+    # secondary metrics ride INSIDE the headline JSON object so every round
+    # is machine-comparable (VERDICT r2 weak #7); each is None if its bench
+    # failed (the headline must survive)
+    secondary = {
+        "acting_megakernel_sps": round(acting, 1),
+        "scan_policy_rollout_sps": round(policy, 1),
+    }
     if env.statics.task == "hover" and env.statics.integrator == "euler":
-        try:
-            train_sps = bench_train_pallas(env)
-            train_line = (f"; megakernel PPO trainer {train_sps / 1e6:.1f}M "
-                          f"train-SPS (64k envs, 4 epochs)")
-        except Exception as e:  # pragma: no cover — keep the headline alive
-            train_line = f"; megakernel trainer bench failed: {e!r:.120}"
-    else:
-        train_line = ""
-    print(
-        f"secondary: fused policy+env megakernel {acting / 1e6:.1f}M steps/s "
-        f"(deterministic serving path); policy-in-loop scan rollout "
-        f"{policy / 1e6:.1f}M steps/s (stochastic acting path)" + train_line,
-        file=sys.stderr,
-    )
+        for key, fn in (
+            ("traj_rollout_sps", lambda: bench_traj_rollout(env)),
+            ("lstm_acting_sps", lambda: bench_lstm_acting(env)),
+            ("train_sps_64k", lambda: bench_train_pallas(env, N=65536)),
+            ("train_sps_262k", lambda: bench_train_pallas(env, N=262144)),
+        ):
+            try:
+                secondary[key] = round(fn(), 1)
+            except Exception as e:  # pragma: no cover — keep headline alive
+                print(f"secondary bench {key} failed: {e!r:.200}",
+                      file=sys.stderr)
+                secondary[key] = None
+    parts = [f"{k}={v / 1e6:.1f}M" for k, v in secondary.items() if v]
+    print("secondary: " + " ".join(parts), file=sys.stderr)
     target_per_chip = 100e6 / 16.0
     print(json.dumps({
         "metric": f"env_steps_per_s_batched_{env.statics.task}_1chip",
         "value": round(mega, 1),
         "unit": "steps/s",
         "vs_baseline": round(mega / target_per_chip, 3),
+        "secondary": secondary,
     }))
 
 
