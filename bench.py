@@ -106,10 +106,15 @@ def bench_policy_rollout(env, N=131072, T=256, iters=4):
     return N * T * iters / (time.perf_counter() - t0)
 
 
-def bench_traj_rollout(env, N=65536, T=128, iters=4):
+def bench_traj_rollout(env, N=131072, T=512, iters=2):
     """Trajectory-emitting rollout kernel alone (the megakernel trainer's
     rollout phase): fused policy+env with the full PPO training planes
-    streamed to HBM in the kernel-natural layout."""
+    streamed to HBM in the kernel-natural layout.
+
+    Shapes amortize this deployment's ~30 ms per-dispatch tunnel latency
+    (measured: a 64k x 128 call is ~75% dispatch overhead; the marginal
+    rate from a T=128 vs 256 delta is ~840M steps/s, and inside the
+    single-jit train step there is no per-call dispatch at all)."""
     from drone_tpu.models import ActorCritic
     from drone_tpu.ops.pallas_acting_traj import traj_act_rollout_pallas_planes
 
@@ -150,9 +155,11 @@ def bench_lstm_acting(env, N=131072, T=512, iters=2):
     return N * T * iters / (time.perf_counter() - t0)
 
 
-def bench_train_pallas(env, N=65536, T=128, iters=3):
+def bench_train_pallas(env, N=65536, T=128, iters=6):
     """Full fused PPO train step (megakernel trainer: rollout kernel + GAE +
-    update kernel + fused adam) — train-SPS, the BASELINE.json:10 metric."""
+    update kernel + fused adam) — train-SPS, the BASELINE.json:10 metric.
+    iters=6 keeps the tunnel's per-dispatch latency amortized (async
+    dispatch pipelines queued steps; 3 iters under-reported by ~8%)."""
     from drone_tpu import ppo as ppo_mod
     from drone_tpu import ppo_pallas
     from drone_tpu.models import ActorCritic

@@ -84,6 +84,14 @@ def segmented_forward(apply_fn, params, obs, done, carry0, bptt):
     c0 = jax.tree_util.tree_map(
         lambda c: c.reshape(S * L, *c.shape[2:]), carry0)
 
+    # remat: recompute the gate/encoder activations in the backward pass
+    # instead of saving them. Without this the scan stores ~6 residual
+    # planes of (bptt, S*L, hidden) f32 per step — at 64k envs / 4
+    # minibatches that is >6 GB of HLO temps and the update OOMs a 16 GB
+    # v5e chip (measured: 16.85G requested). With remat only the carried
+    # (c, h) sequence is stored (~2 GB at that size) and the update pays
+    # one extra forward — the standard TPU HBM-for-FLOPs trade.
+    @jax.checkpoint
     def fwd(lstm, xs):
         obs_t, done_t = xs
         mean, log_std, value, lstm2 = apply_fn(params, obs_t, lstm)

@@ -9,6 +9,8 @@ this image). Usage:
     python -m viz.viewer trajectory.csv out.gif    # animated flight (the
                                                    # reference's demo-video
                                                    # artifact, README.md:9-11)
+    python -m viz.viewer lap.csv lap.gif --params policy.drnw.params
+        # racing: draws the numbered gate circuit from the exported params
 """
 
 from __future__ import annotations
@@ -26,7 +28,44 @@ def load_csv(path):
     return rows
 
 
-def render(rows, out_path="trajectory.png", title="drone trajectory"):
+def load_gates(params_path):
+    """Gate circuit from a versioned .params dump (the file `cli export`
+    writes next to the DRNW weights; native/demo.c reads the same bytes).
+    Returns [(x, y, z), ...] — empty for non-racing params."""
+    import ctypes as ct
+    import struct as _struct
+
+    from oracle.oracle import CParams
+
+    raw = Path(params_path).read_bytes()
+    magic, version, size = _struct.unpack_from("<III", raw)
+    if magic != 0x44524E50 or size != ct.sizeof(CParams):
+        raise ValueError(f"{params_path}: not a DRNP params dump "
+                         f"(magic={magic:#x}, size={size})")
+    c = CParams.from_buffer_copy(raw, 12)
+    return [(c.gates[3 * g], c.gates[3 * g + 1], c.gates[3 * g + 2])
+            for g in range(int(c.n_gates))]
+
+
+def _draw_gates(ax, gates):
+    """Draw the racing circuit: numbered gate markers + the lap loop."""
+    if not gates:
+        return
+    gx = [g[0] for g in gates]
+    gy = [g[1] for g in gates]
+    gz = [g[2] for g in gates]
+    ax.scatter(gx, gy, gz, marker="s", s=120, facecolors="none",
+               edgecolors="darkorange", linewidths=1.6, label="gate")
+    loop = gates + [gates[0]]
+    ax.plot([g[0] for g in loop], [g[1] for g in loop],
+            [g[2] for g in loop], ls="--", lw=0.8, c="darkorange",
+            alpha=0.6)
+    for i, (x, y, z) in enumerate(gates):
+        ax.text(x, y, z + 0.12, str(i), color="darkorange", fontsize=9)
+
+
+def render(rows, out_path="trajectory.png", title="drone trajectory",
+           gates=None):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -52,6 +91,7 @@ def render(rows, out_path="trajectory.png", title="drone trajectory"):
                tzs[:: max(1, len(tzs) // 50)], marker="x", s=40, c="red",
                label="target")
     ax.scatter([xs[0]], [ys[0]], [zs[0]], c="green", s=60, label="start")
+    _draw_gates(ax, gates)
     ax.set_xlabel("x [m]")
     ax.set_ylabel("y [m]")
     ax.set_zlabel("z [m]")
@@ -63,7 +103,7 @@ def render(rows, out_path="trajectory.png", title="drone trajectory"):
 
 
 def render_gif(rows, out_path="trajectory.gif", title="drone flight",
-               fps=25, stride=4, trail=120):
+               fps=25, stride=4, trail=120, gates=None):
     """Animated 3-D flight — the reference repo's user-facing artifact is a
     demo video of exactly this (SURVEY.md §2.2 #3)."""
     import matplotlib
@@ -82,6 +122,7 @@ def render_gif(rows, out_path="trajectory.gif", title="drone flight",
     ax.set_ylim(min(ys), max(ys) or 1)
     ax.set_zlim(0, max(zs) or 1)
     ax.set_title(title)
+    _draw_gates(ax, gates)
     (trail_ln,) = ax.plot([], [], [], lw=1.0, c="tab:blue")
     (dot,) = ax.plot([], [], [], "o", c="tab:blue", ms=6)
     (tgt,) = ax.plot([], [], [], "x", c="red", ms=8)
@@ -139,14 +180,19 @@ def main(argv=None):
     if not argv:
         print(__doc__)
         return 2
+    gates = None
+    if "--params" in argv:
+        i = argv.index("--params")
+        gates = load_gates(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     src = argv[0]
     out = argv[1] if len(argv) > 1 else "trajectory.png"
     rows = load_csv(src)
     title = f"{Path(src).name} ({len(rows)} steps)"
     if out.endswith(".gif"):
-        path = render_gif(rows, out, title=title)
+        path = render_gif(rows, out, title=title, gates=gates)
     else:
-        path = render(rows, out, title=title)
+        path = render(rows, out, title=title, gates=gates)
     print(f"wrote {path}")
     return 0
 
