@@ -182,6 +182,32 @@ def bench_train_pallas(env, N=65536, T=128, iters=6):
     return N * T * iters / (time.perf_counter() - t0)
 
 
+def bench_train_rnn_pallas(env, N=65536, T=128, bptt=16, iters=4):
+    """Fully-fused RECURRENT PPO train step (ppo_rnn_pallas: LSTM rollout
+    kernel + GAE + truncated-BPTT update kernel + fused adam) — the
+    recurrent analogue of bench_train_pallas."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_rnn, ppo_rnn_pallas
+    from drone_tpu.models import LSTMActorCritic
+
+    model = LSTMActorCritic()
+    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                            num_minibatches=4, bptt_horizon=bptt)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
+    step = jax.jit(ppo_rnn_pallas.make_pallas_rnn_train_step(
+        opt, env.params, env.statics, cfg, fused_optimizer=True))
+    runner, m = step(runner)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        runner, m = step(runner)
+    float(m["loss"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
 def main(cfg=None):
     """cfg: optional drone_tpu Config (from the CLI); its [env] section picks
     the benchmarked task/integrator. The Pallas megakernel (which covers
@@ -212,6 +238,8 @@ def main(cfg=None):
             ("lstm_acting_sps", lambda: bench_lstm_acting(env)),
             ("train_sps_64k", lambda: bench_train_pallas(env, N=65536)),
             ("train_sps_262k", lambda: bench_train_pallas(env, N=262144)),
+            ("lstm_train_sps_64k",
+             lambda: bench_train_rnn_pallas(env, N=65536)),
         ):
             try:
                 secondary[key] = round(fn(), 1)

@@ -386,8 +386,7 @@ def _traj_run(state, carry, weights, ls, params, *, T, tc, bptt,
         interpret=interpret,
     )(pf, pi, fs, us, st, h0, c0, ls, *w_flat)
     out_carry = (oc.reshape(hidden, n).T, oh.reshape(hidden, n).T)  # (c, h)
-    seg = (snap[:, 0].transpose(0, 2, 1), snap[:, 1].transpose(0, 2, 1))
-    return (PR.unpack_state(ofs, ous, ost), out_carry, traj, seg,
+    return (PR.unpack_state(ofs, ous, ost), out_carry, traj, snap,
             jnp.sum(stats, axis=(1, 2)))
 
 
@@ -397,14 +396,19 @@ def traj_lstm_rollout_pallas(state: EnvState, policy_params, carry,
                              lanes_per_block: int | None = None,
                              time_chunk: int | None = None,
                              interpret: bool = False,
-                             stochastic: bool = True):
+                             stochastic: bool = True,
+                             seg_layout: str = "batch"):
     """Run T fused LSTM-policy + env steps on-chip, emitting the PPO
     training trajectory AND the truncated-BPTT carry anchors.
 
     carry: flax LSTM carry (c, h), each (N, hidden). bptt: segment length
     (default T); T % bptt == 0. Returns (final EnvState, final carry,
-    planes (T, N_TRAJ, rows, 128), seg_carries (c, h) each (S, N, hidden)
-    with S = T // bptt, stats dict).
+    planes (T, N_TRAJ, rows, 128), seg_carries, stats dict) with
+    S = T // bptt segments. seg_layout picks the anchor form:
+    "batch" — (c, h) tuple, each (S, N, hidden), what
+    ppo_rnn.segmented_forward consumes; "planes" — the kernel-natural
+    (S, 2, hidden, N) snapshot buffer, consumed as-is by the BPTT update
+    kernel (ops/pallas_update_lstm.py) with no relayout in between.
 
     Exploration noise comes from the SAME counter stream as the MLP
     trajectory kernel (blocks NOISE_BLOCK0 + 2*episode-step), so rollouts
@@ -430,23 +434,30 @@ def traj_lstm_rollout_pallas(state: EnvState, policy_params, carry,
             f"interpret=True for small CPU runs.")
     tc = time_chunk if time_chunk is not None else pick_time_chunk(bptt)
     assert bptt % tc == 0, (bptt, tc)
-    final, out_carry, traj, seg, stats = _traj_run(
+    assert seg_layout in ("batch", "planes"), seg_layout
+    final, out_carry, traj, snap, stats = _traj_run(
         state, tuple(carry), (tuple(enc), wi, wh, bh, head, vhead), ls,
         env_params, T=T, tc=tc, bptt=bptt, lanes_per_block=lanes_per_block,
         task=statics.task, integrator=statics.integrator, n_enc=len(enc),
         interpret=interpret, stochastic=stochastic)
+    if seg_layout == "planes":
+        seg = snap
+    else:
+        seg = (snap[:, 0].transpose(0, 2, 1), snap[:, 1].transpose(0, 2, 1))
     return final, out_carry, traj, seg, PR._stats_dict(stats)
 
 
 def traj_lstm_rollout_reference(state: EnvState, policy_params, carry,
                                 env_params: EnvParams, statics: EnvStatics,
                                 T: int, bptt: int | None = None,
-                                stochastic: bool = True):
+                                stochastic: bool = True,
+                                seg_layout: str = "batch"):
     """jnp mirror of traj_lstm_rollout_pallas: same plane-space matmul
     formulation ((H, in) @ (in, L) with pre-transposed kernels), same noise
     stream, same expression order. In interpret mode on the CPU backend the
     kernel matches this bitwise (single lane block). Returns
-    (final EnvState, final carry, Traj (T, B, ...), seg_carries, stats)."""
+    (final EnvState, final carry, Traj (T, B, ...), seg_carries, stats);
+    seg_layout as in traj_lstm_rollout_pallas ("planes" -> (S, 2, H, N))."""
     n = state.pos.shape[0]
     enc, wi, wh, bh, head, vhead, ls_row = lstm_all_weights(policy_params)
     hidden = wh[0].shape[0]
@@ -503,7 +514,11 @@ def traj_lstm_rollout_reference(state: EnvState, policy_params, carry,
         "ep_return_sq_sum": jnp.sum(ep_ret * ep_ret),
     }
     # anchors: the carries entering steps 0, bptt, 2*bptt, ...
-    seg = (cs[::bptt].transpose(0, 2, 1), hs[::bptt].transpose(0, 2, 1))
+    assert seg_layout in ("batch", "planes"), seg_layout
+    if seg_layout == "planes":
+        seg = jnp.stack([cs[::bptt], hs[::bptt]], axis=1)  # (S, 2, H, N)
+    else:
+        seg = (cs[::bptt].transpose(0, 2, 1), hs[::bptt].transpose(0, 2, 1))
     out_carry = (cT.T, hT.T)
     return final, out_carry, traj, seg, stats
 

@@ -108,27 +108,19 @@ def _tower_bwd(weights, acts, dy, dtype=jnp.float32):
     return grads
 
 
-def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co,
-                 dtype=jnp.float32):
-    """Forward + hand-written backward for one sample block.
+def _head_grads(m, v, a, logp_old, v_old, adv, ret, ls, co):
+    """PPO surrogate head gradients + stat planes for one sample block.
 
-    X: (OBS_DIM, S) obs matrix; a: 4 action planes; logp_old/v_old/adv/ret:
-    per-sample planes; actor_w/critic_w: [(W (out,in), b (out,))]; ls: 4
-    log_std scalars; co: UpdateConsts. Every op here runs identically inside
-    the Mosaic kernel and in the jnp mirror — this function IS the bitwise
-    contract.
-
-    Returns (actor grads, critic grads, stat planes tuple of N_UPSTATS).
+    m: 4 policy-mean planes; v: value plane; a: 4 stored action planes;
+    logp_old/v_old/adv/ret: per-sample planes; ls: 4 log_std scalars.
+    Elementwise and shape-agnostic — the ONE implementation of the clipped
+    PPO loss derivative, shared by the MLP update kernel (`_block_grads`),
+    the LSTM/BPTT update kernel (ops/pallas_update_lstm.py), and both jnp
+    mirrors. Returns (dm[4] mean grads, g_v value grad, stats tuple of
+    N_UPSTATS planes).
     """
-    S = X.shape[1]
-    shape = a[0].shape
     inv_m = jnp.float32(co.inv_m)
     C = jnp.float32(_HALF_LOG_2PI)
-
-    mx, acts_a = _tower_fwd(X, actor_w, dtype)
-    vx, acts_c = _tower_fwd(X, critic_w, dtype)
-    m = [mx[k].reshape(shape) for k in range(4)]
-    v = vx[0].reshape(shape)
 
     # -- policy head: logp, ratio, clipped surrogate ------------------------
     z, lp = [], None
@@ -160,17 +152,41 @@ def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co,
                        jnp.where(in_vclip, 2.0 * dv_c, 0.0))
     g_v = jnp.float32(0.5 * co.vf_coef) * inv_m * dvl_dv
 
-    # -- backprop through the towers ----------------------------------------
     dm = [g_logp * (z[k] / jnp.exp(ls[k])) for k in range(4)]
-    dmx = jnp.stack(dm).reshape(4, S)
-    dvx = g_v.reshape(1, S)
-    ga = _tower_bwd(actor_w, acts_a, dmx, dtype)
-    gc = _tower_bwd(critic_w, acts_c, dvx, dtype)
-
     stats = (pg, vl, logp_old - lp,
              (jnp.abs(ratio - 1.0) > co.clip_eps).astype(jnp.float32),
              g_logp * (z[0] * z[0] - 1.0), g_logp * (z[1] * z[1] - 1.0),
              g_logp * (z[2] * z[2] - 1.0), g_logp * (z[3] * z[3] - 1.0))
+    return dm, g_v, stats
+
+
+def _block_grads(X, a, logp_old, v_old, adv, ret, actor_w, critic_w, ls, co,
+                 dtype=jnp.float32):
+    """Forward + hand-written backward for one sample block.
+
+    X: (OBS_DIM, S) obs matrix; a: 4 action planes; logp_old/v_old/adv/ret:
+    per-sample planes; actor_w/critic_w: [(W (out,in), b (out,))]; ls: 4
+    log_std scalars; co: UpdateConsts. Every op here runs identically inside
+    the Mosaic kernel and in the jnp mirror — this function IS the bitwise
+    contract (head math in `_head_grads`, shared with the LSTM update).
+
+    Returns (actor grads, critic grads, stat planes tuple of N_UPSTATS).
+    """
+    S = X.shape[1]
+    shape = a[0].shape
+
+    mx, acts_a = _tower_fwd(X, actor_w, dtype)
+    vx, acts_c = _tower_fwd(X, critic_w, dtype)
+    m = [mx[k].reshape(shape) for k in range(4)]
+    v = vx[0].reshape(shape)
+
+    dm, g_v, stats = _head_grads(m, v, a, logp_old, v_old, adv, ret, ls, co)
+
+    # -- backprop through the towers ----------------------------------------
+    dmx = jnp.stack(dm).reshape(4, S)
+    dvx = g_v.reshape(1, S)
+    ga = _tower_bwd(actor_w, acts_a, dmx, dtype)
+    gc = _tower_bwd(critic_w, acts_c, dvx, dtype)
     return ga, gc, stats
 
 

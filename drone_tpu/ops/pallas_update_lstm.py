@@ -1,0 +1,442 @@
+"""Recurrent PPO update megakernel: truncated-BPTT LSTM fwd+bwd in VMEM.
+
+The recurrent counterpart of ops/pallas_update.py: one SGD minibatch pass
+for the LSTMActorCritic policy with HAND-WRITTEN backprop through time,
+entirely in VMEM. The grid streams (row-block, BPTT-segment) tiles of the
+kernel-natural (T, N_TRAJ, rows, 128) trajectory planes plus the
+(S, 2, hidden, N) carry anchors that ops/pallas_acting_lstm.py's rollout
+kernel recorded at each segment start; for every tile the kernel re-runs
+the encoder+LSTM+heads forward over the segment from its anchor and walks
+the gates backward through time, accumulating weight gradients in
+revisited output refs. Gradients STOP at segment boundaries (each segment
+starts from stored carry data) — exactly ppo_rnn.segmented_forward's
+truncation semantics, kernelized.
+
+Memory plan (the part that makes BPTT fit in ~16 MB of VMEM): storing
+every per-step activation for a 16-step segment at 1024 lanes would need
+>50 MB, so the kernel checkpoints instead of storing — the forward pass
+keeps only the (c, h) carries entering every `sc`-step chunk, and the
+backward pass re-runs each chunk forward (storing its per-step carries)
+then recomputes the gates per step from (c_in, h_in, obs) as it walks
+backward. Cost: ~2 extra forwards; the working set stays at
+(bptt/sc + sc) carry pairs — minimized at sc ~= sqrt(bptt).
+
+All math lives in `_segment_grads` (built on `_lstm_step_fwd` and
+pallas_update's `_head_grads`), shared VERBATIM by the kernel and the
+pure-jnp mirror `ppo_lstm_update_reference` — in interpret mode on the
+CPU backend the kernel matches the mirror bitwise, and a separate test
+pins the hand-written BPTT against jax.grad of the equivalent
+segmented-forward loss.
+
+Reference: SURVEY.md §2.2 #9-#10 (`[U] pufferlib/pufferl.py` LSTM mode is
+part of the trainer — minibatch PPO update with truncated BPTT;
+`[U] pufferlib/models.py` LSTMWrapper); BASELINE.json:10.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drone_tpu.ops.pallas_acting_traj import (
+    N_TRAJ,
+    TP_ACT0,
+    TP_DONE,
+    TP_LOGP,
+    TP_OBS0,
+    TP_VAL,
+    _dot32,
+)
+from drone_tpu.ops.pallas_update import (
+    N_UPSTATS,
+    UpdateConsts,
+    _head_grads,
+)
+from drone_tpu.types import OBS_DIM
+
+# flat kernel-tensor order for the recurrent policy (the fused-optimizer /
+# gradient layout): enc (W, b) pairs, wi[4], wh[4], bh[4], actor head
+# (W, b), critic head (W, b), log_std (1, 4). Biases are (out, 1) columns
+# so every parameter/gradient/adam-moment tensor is 2-D.
+_N_LSTM_FIXED = 16  # wi4 + wh4 + bh4 + head W/b + vhead W/b
+
+
+def _unflatten(tensors, n_enc):
+    """Flat kernel-tensor list -> (enc, wi, wh, bh, head, vhead) structure
+    (log_std, if present as the trailing (1, 4) tensor, is NOT consumed
+    here — slice it off first)."""
+    enc = [(tensors[2 * i], tensors[2 * i + 1]) for i in range(n_enc)]
+    o = 2 * n_enc
+    wi = [tensors[o + g] for g in range(4)]
+    wh = [tensors[o + 4 + g] for g in range(4)]
+    bh = [tensors[o + 8 + g] for g in range(4)]
+    head = (tensors[o + 12], tensors[o + 13])
+    vhead = (tensors[o + 14], tensors[o + 15])
+    return enc, wi, wh, bh, head, vhead
+
+
+def _lstm_step_fwd(X, c, h, enc, wi, wh, bh, dtype):
+    """One encoder+LSTM step in plane space: X (OBS_DIM, L), c/h (H, L).
+
+    Returns (acts, gi, gf, gg, go, c2, th, h2) where acts[i] is the input
+    to encoder layer i (acts[-1] = the LSTM input x). The gate expressions
+    are EXACTLY the rollout kernel's (ops/pallas_acting_lstm.py) — shared
+    evaluation order, so recomputed activations match the rollout's
+    bitwise at the first minibatch."""
+    acts = [X]
+    x = X
+    for w, b in enc:
+        x = jnp.tanh(_dot32(w, x, dtype) + b)
+        acts.append(x)
+    gi = jax.nn.sigmoid(_dot32(wi[0], x, dtype) + _dot32(wh[0], h, dtype)
+                        + bh[0])
+    gf = jax.nn.sigmoid(_dot32(wi[1], x, dtype) + _dot32(wh[1], h, dtype)
+                        + bh[1])
+    gg = jnp.tanh(_dot32(wi[2], x, dtype) + _dot32(wh[2], h, dtype) + bh[2])
+    go = jax.nn.sigmoid(_dot32(wi[3], x, dtype) + _dot32(wh[3], h, dtype)
+                        + bh[3])
+    c2 = gf * c + gi * gg
+    th = jnp.tanh(c2)
+    h2 = go * th
+    return acts, gi, gf, gg, go, c2, th, h2
+
+
+def _zero_grads(tensors):
+    return [jnp.zeros_like(t) for t in tensors]
+
+
+def _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc, dtype):
+    """Truncated-BPTT forward + hand-written backward for ONE segment.
+
+    planes: (bptt, N_TRAJ, rbu, 128) trajectory tile (kernel-natural
+    layout, straight from the LSTM rollout kernel); ar: (2, bptt, rbu, 128)
+    stacked (normalized advantage, return); c0/h0: (H, L) carry entering
+    the segment (L = rbu * 128); tensors: flat kernel-tensor list WITHOUT
+    the trailing log_std; ls: 4 log_std scalars; sc: checkpoint chunk
+    length (divides bptt). Every op runs identically inside the Mosaic
+    kernel and in the jnp mirror — this function IS the bitwise contract.
+
+    Returns (grad list matching `tensors` order, stat planes tuple of
+    N_UPSTATS (rbu, 128) arrays).
+    """
+    bptt, rbu = planes.shape[0], planes.shape[2]
+    L = rbu * 128
+    shape = (rbu, 128)
+    n_enc = (len(tensors) - _N_LSTM_FIXED) // 2
+    enc, wi, wh, bh, head, vhead = _unflatten(tensors, n_enc)
+    head_w, head_b = head
+    vh_w, vh_b = vhead
+
+    def obs_X(t):
+        return planes[t, TP_OBS0:TP_OBS0 + OBS_DIM].reshape(OBS_DIM, L)
+
+    def keep_of(t):
+        return (1.0 - planes[t, TP_DONE]).reshape(1, L)
+
+    def fwd(c, h, t):
+        return _lstm_step_fwd(obs_X(t), c, h, enc, wi, wh, bh, dtype)
+
+    # -- pass A: forward, keeping only chunk-boundary carries ---------------
+    n_ck = bptt // sc
+    bounds = []
+    c, h = c0, h0
+    for t in range(bptt):
+        if t % sc == 0:
+            bounds.append((c, h))
+        *_, c2, th, h2 = fwd(c, h, t)
+        keep = keep_of(t)
+        c, h = c2 * keep, h2 * keep
+
+    # -- pass B: chunks in reverse; re-forward each, then backward ----------
+    genc = _zero_grads([m for wb in enc for m in wb])
+    gwi = _zero_grads(wi)
+    gwh = _zero_grads(wh)
+    gbh = _zero_grads(bh)
+    ghw = jnp.zeros_like(head_w)
+    ghb = jnp.zeros_like(head_b)
+    gvw = jnp.zeros_like(vh_w)
+    gvb = jnp.zeros_like(vh_b)
+    st_acc = None
+    dh_nxt = jnp.zeros((c0.shape[0], L), jnp.float32)
+    dc_nxt = jnp.zeros((c0.shape[0], L), jnp.float32)
+
+    for ck in range(n_ck - 1, -1, -1):
+        c, h = bounds[ck]
+        carries = []
+        for i in range(sc):
+            t = ck * sc + i
+            carries.append((c, h))
+            *_, c2, th, h2 = fwd(c, h, t)
+            keep = keep_of(t)
+            c, h = c2 * keep, h2 * keep
+
+        for i in range(sc - 1, -1, -1):
+            t = ck * sc + i
+            c_in, h_in = carries[i]
+            acts, gi, gf, gg, go, c2, th, h2 = fwd(c_in, h_in, t)
+            keep = keep_of(t)
+            x = acts[-1]
+
+            # heads + PPO surrogate gradient (shared with the MLP kernel)
+            mx = _dot32(head_w, h2, dtype) + head_b
+            vx = _dot32(vh_w, h2, dtype) + vh_b
+            m = [mx[k].reshape(shape) for k in range(4)]
+            v = vx[0].reshape(shape)
+            a = [planes[t, TP_ACT0 + k] for k in range(4)]
+            dm, g_v, st = _head_grads(m, v, a, planes[t, TP_LOGP],
+                                      planes[t, TP_VAL], ar[0, t], ar[1, t],
+                                      ls, co)
+            st_acc = (st if st_acc is None
+                      else tuple(sa + sv for sa, sv in zip(st_acc, st)))
+            dmx = jnp.stack(dm).reshape(4, L)
+            dvx = g_v.reshape(1, L)
+            ghw = ghw + _dot32(dmx, h2.T, dtype)
+            ghb = ghb + jnp.sum(dmx, axis=1, keepdims=True)
+            gvw = gvw + _dot32(dvx, h2.T, dtype)
+            gvb = gvb + jnp.sum(dvx, axis=1, keepdims=True)
+
+            # backprop through the LSTM cell. The carry leaving step t was
+            # masked by keep(t) before entering step t+1, so the incoming
+            # through-time gradient is masked by THIS step's keep.
+            dh2 = (_dot32(head_w.T, dmx, dtype) + _dot32(vh_w.T, dvx, dtype)
+                   + dh_nxt * keep)
+            dc2 = dc_nxt * keep + dh2 * go * (1.0 - th * th)
+            dgo = dh2 * th
+            dgi = dc2 * gg
+            dgf = dc2 * c_in
+            dgg = dc2 * gi
+            dc_nxt = dc2 * gf
+            dz = (dgi * (gi * (1.0 - gi)), dgf * (gf * (1.0 - gf)),
+                  dgg * (1.0 - gg * gg), dgo * (go * (1.0 - go)))
+            dh_nxt = None
+            dx = None
+            for g in range(4):
+                gwi[g] = gwi[g] + _dot32(dz[g], x.T, dtype)
+                gwh[g] = gwh[g] + _dot32(dz[g], h_in.T, dtype)
+                gbh[g] = gbh[g] + jnp.sum(dz[g], axis=1, keepdims=True)
+                hterm = _dot32(wh[g].T, dz[g], dtype)
+                xterm = _dot32(wi[g].T, dz[g], dtype)
+                dh_nxt = hterm if dh_nxt is None else dh_nxt + hterm
+                dx = xterm if dx is None else dx + xterm
+
+            # encoder backward (tanh layers; activations recomputed above)
+            for li in range(n_enc - 1, -1, -1):
+                y = acts[li + 1]
+                dpre = dx * (1.0 - y * y)
+                genc[2 * li] = genc[2 * li] + _dot32(dpre, acts[li].T, dtype)
+                genc[2 * li + 1] = genc[2 * li + 1] + jnp.sum(
+                    dpre, axis=1, keepdims=True)
+                if li > 0:
+                    dx = _dot32(enc[li][0].T, dpre, dtype)
+        # dh_nxt/dc_nxt now hold d(carry entering this chunk) and flow into
+        # the previous chunk's last step; at ck == 0 they are discarded —
+        # the segment anchor is stored data, not a function of params
+        # (truncation).
+
+    grads = genc + gwi + gwh + gbh + [ghw, ghb, gvw, gvb]
+    return grads, st_acc
+
+
+def _lstm_update_kernel(perm_ref, pl_ref, ar_ref, snap_ref, ls_ref, *refs,
+                        n_enc, co, sc, compute_dtype):
+    n_t = 2 * n_enc + _N_LSTM_FIXED
+    w_refs = refs[:n_t]
+    g_refs = refs[n_t:2 * n_t]
+    stats_ref = refs[2 * n_t]
+    tensors = [w_refs[i][:] for i in range(n_t)]
+    ls = [ls_ref[0, k] for k in range(4)]
+
+    g = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when((g == 0) & (s == 0))
+    def _init():
+        for r in g_refs:
+            r[:] = jnp.zeros_like(r)
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    planes = pl_ref[:, :, 0]        # (bptt, N_TRAJ, 1, rbu, 128) -> drop n_rb
+    ar = ar_ref[:, :, 0]            # (2, bptt, 1, rbu, 128) -> drop n_rb
+    hidden = snap_ref.shape[2]
+    rbu = planes.shape[2]
+    L = rbu * 128
+    c0 = snap_ref[0, 0, :, 0].reshape(hidden, L)   # (H, rbu, 128) -> (H, L)
+    h0 = snap_ref[0, 1, :, 0].reshape(hidden, L)
+    grads, stats = _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc,
+                                  compute_dtype)
+    for r, val in zip(g_refs, grads):
+        r[:] += val
+    for k in range(N_UPSTATS):
+        stats_ref[k] += stats[k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sel", "bptt", "rbu", "n_enc", "co", "sc",
+                     "interpret", "compute_dtype"),
+)
+def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
+                      n_sel, bptt, rbu, n_enc, co, sc, interpret=False,
+                      compute_dtype="float32"):
+    T, rows = planes.shape[0], planes.shape[2]
+    n_seg = T // bptt
+    n_rb = rows // rbu
+    hidden = snap.shape[2]
+    # split rows -> (n_rb, rbu) and lanes -> (n_rb, rbu, 128) so the
+    # trailing block dims EQUAL the array's (Mosaic's "divisible by 8 OR
+    # equal" rule — legal for any rbu; rbu=8 is the production tile) and
+    # the row-block index lands third-minor or higher. Both reshapes split
+    # a major dim contiguously: layout-preserving, no copy.
+    planes = planes.reshape(T, N_TRAJ, n_rb, rbu, 128)
+    advret = advret.reshape(2, T, n_rb, rbu, 128)
+    snap = snap.reshape(n_seg, 2, hidden, n_rb, rbu, 128)
+    tensors = tuple(tensors)
+
+    def full(shp):
+        return pl.BlockSpec(shp, lambda g, s, p: tuple(0 for _ in shp),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sel, n_seg),
+        in_specs=[
+            # one (segment, all planes, row-block) tile per grid step; the
+            # scalar-prefetched permutation p drives the row-block index —
+            # recurrent minibatch gather (lanes whole, sequences whole) for
+            # free, straight from the rollout kernel's natural layout
+            pl.BlockSpec((bptt, N_TRAJ, 1, rbu, 128),
+                         lambda g, s, p: (s, 0, p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bptt, 1, rbu, 128),
+                         lambda g, s, p: (0, s, p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            # the carry anchor recorded by the rollout kernel for (segment,
+            # row-block) — its natural (S, 2, H, N) layout, lane-sliced
+            pl.BlockSpec((1, 2, hidden, 1, rbu, 128),
+                         lambda g, s, p: (s, 0, 0, p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda g, s, p: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *[full(t.shape) for t in tensors],
+        ],
+        out_specs=(
+            *[full(t.shape) for t in tensors],
+            pl.BlockSpec((N_UPSTATS, rbu, 128), lambda g, s, p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    kernel = functools.partial(_lstm_update_kernel, n_enc=n_enc, co=co,
+                               sc=sc,
+                               compute_dtype=jnp.dtype(compute_dtype).type)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            *[jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tensors],
+            jax.ShapeDtypeStruct((N_UPSTATS, rbu, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(perm_mb, planes, advret, snap, log_std, *tensors)
+    grads, stats = list(outs[:-1]), outs[-1]
+    return grads, jnp.sum(stats, axis=(1, 2))
+
+
+def ppo_lstm_update_reference(planes, advret, snap, perm_mb, tensors,
+                              log_std, *, bptt, rbu, co: UpdateConsts, sc,
+                              compute_dtype="float32"):
+    """Pure-jnp mirror of the LSTM update kernel: same segment math
+    (`_segment_grads`), same (row-block, segment) accumulation order.
+    Bitwise contract for the interpret-mode tests; the CPU-backend
+    recurrent update path."""
+    T = planes.shape[0]
+    n_seg = T // bptt
+    n_sel = perm_mb.shape[0]
+    hidden = snap.shape[2]
+    L = rbu * 128
+    ls = [log_std[0, k] for k in range(4)]
+    tensors = list(tensors)
+    acc0 = (_zero_grads(tensors),
+            jnp.zeros((N_UPSTATS, rbu, 128), jnp.float32))
+
+    def body(acc, idx):
+        g_acc, st_acc = acc
+        g = idx // n_seg
+        s = idx % n_seg
+        rb = perm_mb[g]
+        blk = jax.lax.dynamic_slice(
+            planes, (s * bptt, 0, rb * rbu, 0), (bptt, N_TRAJ, rbu, 128))
+        ar = jax.lax.dynamic_slice(
+            advret, (0, s * bptt, rb * rbu, 0), (2, bptt, rbu, 128))
+        anchor = jax.lax.dynamic_slice(
+            snap, (s, 0, 0, rb * L), (1, 2, hidden, L))
+        c0 = anchor[0, 0]
+        h0 = anchor[0, 1]
+        grads, stats = _segment_grads(blk, ar, c0, h0, tensors, ls, co, sc,
+                                      jnp.dtype(compute_dtype).type)
+        g_acc = [a + g_ for a, g_ in zip(g_acc, grads)]
+        st_acc = st_acc + jnp.stack(stats)
+        return (g_acc, st_acc), None
+
+    (grads, st), _ = jax.lax.scan(body, acc0, jnp.arange(n_sel * n_seg))
+    return grads, jnp.sum(st, axis=(1, 2))
+
+
+def pick_sc(bptt: int, cap: int = 4) -> int:
+    """Checkpoint chunk: the largest divisor of bptt <= cap. cap=4 ~=
+    sqrt(16) balances the boundary-carry and per-step-carry VMEM working
+    sets at the production bptt=16 (see module docstring)."""
+    best = 1
+    for k in range(1, min(cap, bptt) + 1):
+        if bptt % k == 0:
+            best = k
+    return best
+
+
+MAX_KERNEL_BPTT = 32
+
+
+def ppo_lstm_update(planes, advret, snap, perm_mb, tensors, log_std, *,
+                    bptt, co: UpdateConsts, rbu: int = 1, sc: int | None = None,
+                    mode: str = "kernel", interpret: bool = False,
+                    compute_dtype: str = "float32"):
+    """One recurrent-PPO minibatch gradient pass (truncated BPTT).
+
+    planes: (T, N_TRAJ, rows, 128) straight from the LSTM trajectory
+    rollout kernel; advret: (2, T, rows, 128) stacked (normalized
+    advantage, return); snap: (T//bptt, 2, hidden, rows*128) carry anchors
+    in the rollout kernel's natural layout (seg_layout="planes");
+    perm_mb: (n_sel,) int32 ROW-BLOCK indices of this minibatch — the
+    recurrent convention: minibatches split the env axis, sequences stay
+    whole, so a row block selects 128*rbu full-horizon lanes.
+    tensors: flat kernel-tensor list (see lstm tensor order at module top)
+    WITHOUT log_std; log_std: (1, 4).
+
+    Returns (grad list matching `tensors`, stat sums (N_UPSTATS,)).
+    Gradients are SUMS scaled by co.inv_m (the mean-loss gradient);
+    log_std's gradient lives in the stat sums (ST_DLS*) plus the caller's
+    -ent_coef entropy term, exactly as the MLP update kernel.
+    """
+    T = planes.shape[0]
+    assert T % bptt == 0, (T, bptt)
+    if sc is None:
+        sc = pick_sc(bptt)
+    assert bptt % sc == 0, (bptt, sc)
+    if mode == "kernel" and not interpret and bptt > MAX_KERNEL_BPTT:
+        raise ValueError(
+            f"the compiled LSTM update kernel supports bptt_horizon <= "
+            f"{MAX_KERNEL_BPTT} (VMEM working set scales with the segment "
+            f"length; got {bptt}). Use a shorter bptt_horizon or the "
+            f"segmented_forward XLA update (ppo_rnn rollout='pallas').")
+    if mode == "kernel":
+        return _lstm_update_call(
+            planes, advret, snap, perm_mb, tuple(tensors), log_std,
+            n_sel=perm_mb.shape[0], bptt=bptt, rbu=rbu,
+            n_enc=(len(tensors) - _N_LSTM_FIXED) // 2, co=co, sc=sc,
+            interpret=interpret, compute_dtype=compute_dtype)
+    return ppo_lstm_update_reference(
+        planes, advret, snap, perm_mb, tensors, log_std, bptt=bptt, rbu=rbu,
+        co=co, sc=sc, compute_dtype=compute_dtype)

@@ -57,8 +57,12 @@ def make_sharded_train_step(
     adam state when fused_optimizer=True (ppo_pallas.init_fused_opt_state);
     interpret routes the kernels through the Pallas interpreter (CPU/
     virtual-device testing). trainer="pallas" + recurrent=True shards the
-    recurrent megakernel path instead: the LSTM trajectory rollout kernel
-    per device feeding the truncated-BPTT update (optax opt state).
+    fully-fused recurrent megakernel trainer (ppo_rnn_pallas: LSTM rollout
+    kernel + BPTT update kernel + fused adam per device, pmean'd grads);
+    trainer="pallas_rollout" + recurrent=True shards the hybrid tier
+    instead — the LSTM trajectory rollout kernel feeding ppo_rnn's XLA
+    segmented_forward update (optax opt state; the fallback when the batch
+    shape or bptt_horizon exceeds the update kernel's envelope).
     """
     n_dev = mesh.devices.size
     assert cfg.num_envs % n_dev == 0, (
@@ -66,7 +70,17 @@ def make_sharded_train_step(
     )
     per_dev = cfg.num_envs // n_dev
     if trainer == "pallas" and recurrent:
-        # recurrent megakernel: LSTM trajectory rollout kernel per device,
+        # fully-fused recurrent megakernel: rollout + BPTT update + adam
+        # kernels per device, pmean'd grads as in the MLP megakernel path
+        from drone_tpu import ppo_rnn_pallas
+
+        inner = ppo_rnn_pallas.make_pallas_rnn_train_step(
+            optimizer, env_params, statics, cfg,
+            axis_name=axis, envs_per_device=per_dev, interpret=interpret,
+            fused_optimizer=fused_optimizer, compute_dtype=compute_dtype,
+        )
+    elif trainer == "pallas_rollout" and recurrent:
+        # hybrid: LSTM trajectory rollout kernel per device, XLA
         # truncated-BPTT update + pmean'd grads as in the scan path
         from drone_tpu import ppo_rnn
 

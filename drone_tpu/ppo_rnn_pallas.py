@@ -1,0 +1,372 @@
+"""Recurrent megakernel PPO: LSTM rollout AND truncated-BPTT update on Pallas.
+
+The recurrent analogue of drone_tpu.ppo_pallas — the third policy family
+at kernel speed. The scan-path recurrent trainer (drone_tpu.ppo_rnn) is
+the baseline; ppo_rnn's rollout="pallas" fuses data collection only; this
+module fuses the whole step:
+
+  rollout  — ops/pallas_acting_lstm.traj_lstm_rollout_pallas streams the
+             (obs, action, logp, value, reward, done) planes AND the
+             per-segment (c, h) carry anchors to HBM (encoder+LSTM+heads+
+             env fused in VMEM, counter-RNG exploration noise).
+  GAE      — XLA reverse scan directly on the time-major planes (exactly
+             ppo_pallas's GAE — the layout is shared).
+  update   — ops/pallas_update_lstm.py re-runs the policy over each BPTT
+             segment from its stored anchor and walks the gates backward
+             through time, entirely in VMEM (checkpointed re-forward, no
+             activation traffic to HBM); recurrent minibatches split the
+             env axis at row-block granularity via a scalar-prefetched
+             permutation, sequences stay whole.
+  optimizer— the shared fused clip+adam kernel (ops/pallas_update.py) over
+             the LSTM kernel-tensor list, or optax on the param pytree.
+
+Training data and carry anchors never change layout between the rollout
+and update kernels. mode="reference" swaps every kernel for its pure-jnp
+mirror — the full train step matches the kernel path bitwise in interpret
+mode on CPU (tests/test_pallas_update_lstm.py).
+
+Semantic deltas vs the scan recurrent trainer: the same two as the MLP
+megakernel trainer (counter-stream exploration noise; row-block-granular
+minibatch shuffling — see ppo_pallas.py's module docstring), plus none:
+the BPTT truncation semantics are segmented_forward's exactly.
+
+Reference: SURVEY.md §2.2 #9-#10 (`[U] pufferlib/pufferl.py` LSTM mode of
+the minibatch PPO trainer; `[U] pufferlib/models.py` LSTMWrapper);
+BASELINE.json:10.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from drone_tpu import env as env_mod
+from drone_tpu import ppo as ppo_mod
+from drone_tpu.ops import pallas_acting_lstm as PAL
+from drone_tpu.ops import pallas_acting_traj as PAT
+from drone_tpu.ops import pallas_update as PU
+from drone_tpu.ops import pallas_update_lstm as PUL
+from drone_tpu.ops.pallas_acting_traj import TP_DONE, TP_REW, TP_VAL, _dot32
+from drone_tpu.ppo_rnn import RecurrentRunnerState
+from drone_tpu.types import EnvParams, EnvStatics
+
+_GATES = ("i", "f", "g", "o")
+
+
+def lstm_kernel_tensors(params):
+    """params -> (flat kernel-layout tensor list [enc W/b..., wi*4, wh*4,
+    bh*4, head W/b, vhead W/b, ls (1,4)], n_enc). The recurrent
+    fused-optimizer carry format: every parameter, gradient, and
+    adam-moment tensor shares these shapes (biases as (out, 1) columns)."""
+    enc, wi, wh, bh, head, vhead, ls = PAL.lstm_all_weights(params)
+    t = []
+    for w, b in enc:
+        t += [w, b.reshape(-1, 1)]
+    t += list(wi) + list(wh) + [b.reshape(-1, 1) for b in bh]
+    t += [head[0], head[1].reshape(-1, 1), vhead[0], vhead[1].reshape(-1, 1)]
+    t.append(ls)
+    return t, len(enc)
+
+
+def lstm_grads_pytree(params, grads, dls, n_enc):
+    """Kernel-layout gradient list (ppo_lstm_update order, no ls) + log_std
+    grad -> a pytree matching LSTMActorCritic params (W^T back to flax
+    (in, out); (out, 1) biases to (out,); flax's input-gate denses have no
+    bias, matching the kernel's gradient surface)."""
+    o = 2 * n_enc
+    out = {}
+    for i in range(n_enc):
+        out[f"enc_h{i}"] = {"kernel": grads[2 * i].T,
+                            "bias": grads[2 * i + 1][:, 0]}
+    lstm = {}
+    for gi, g in enumerate(_GATES):
+        lstm[f"i{g}"] = {"kernel": grads[o + gi].T}
+        lstm[f"h{g}"] = {"kernel": grads[o + 4 + gi].T,
+                         "bias": grads[o + 8 + gi][:, 0]}
+    out["lstm"] = lstm
+    out["actor_mean"] = {"kernel": grads[o + 12].T,
+                         "bias": grads[o + 13][:, 0]}
+    out["critic_value"] = {"kernel": grads[o + 14].T,
+                           "bias": grads[o + 15][:, 0]}
+    out["log_std"] = dls
+    return {"params": out} if "params" in params else out
+
+
+def lstm_tensors_to_params(template, tensors, n_enc):
+    """Flat kernel tensor list (incl. trailing ls) -> LSTMActorCritic
+    param pytree shaped like `template`."""
+    return lstm_grads_pytree(template, tensors[:-1],
+                             tensors[-1].reshape(4), n_enc)
+
+
+def init_fused_opt_state(params):
+    """Fused-optimizer state for the recurrent trainer: (count, mu, nu)
+    with mu/nu in LSTM kernel tensor layout (a plain pytree — orbax
+    checkpointing works unchanged)."""
+    tensors, _ = lstm_kernel_tensors(params)
+    return (jnp.float32(0.0),
+            [jnp.zeros_like(t) for t in tensors],
+            [jnp.zeros_like(t) for t in tensors])
+
+
+def optax_to_fused_opt_state(opt_state):
+    """optax chain(clip_by_global_norm, adam) state -> recurrent fused
+    (count, mu, nu). Bitwise: transposes/reshapes only (the same
+    cross-trainer portability contract as ppo_pallas's converters)."""
+    from drone_tpu.ppo_pallas import _find_state
+    st = _find_state(opt_state, optax.ScaleByAdamState)
+    if st is None:
+        raise ValueError(
+            "cannot convert optimizer state: no ScaleByAdamState found "
+            f"(structure: {jax.tree_util.tree_structure(opt_state)})")
+    mu_t, _ = lstm_kernel_tensors(st.mu)
+    nu_t, _ = lstm_kernel_tensors(st.nu)
+    return (jnp.asarray(st.count, jnp.float32), mu_t, nu_t)
+
+
+def fused_to_optax_opt_state(optimizer, params, fused_state):
+    """Recurrent fused (count, mu, nu) -> the optax state
+    `optimizer.init(params)` would carry after the same number of steps."""
+    count, mu_t, nu_t = fused_state
+    _, n_enc = lstm_kernel_tensors(params)
+    mu = lstm_tensors_to_params(params, list(mu_t), n_enc)
+    nu = lstm_tensors_to_params(params, list(nu_t), n_enc)
+    ci = jnp.asarray(count, jnp.int32)
+
+    def repl(x):
+        if isinstance(x, optax.ScaleByAdamState):
+            return x._replace(count=ci, mu=mu, nu=nu)
+        if isinstance(x, optax.ScaleByScheduleState):
+            return x._replace(count=ci)
+        return x
+
+    is_leaf = lambda x: isinstance(
+        x, (optax.ScaleByAdamState, optax.ScaleByScheduleState))
+    return jax.tree_util.tree_map(repl, optimizer.init(params),
+                                  is_leaf=is_leaf)
+
+
+def _lstm_value(obs, carry, params, dtype=jnp.float32):
+    """Critic value at `obs` given the flax carry (c, h), in the kernels'
+    plane-space matmul formulation (shared jnp — identical in kernel and
+    reference trainer modes). Returns (N,) values."""
+    enc, wi, wh, bh, head, vhead, _ = PAL.lstm_all_weights(params)
+    x = obs.T
+    for w, b in enc:
+        x = jnp.tanh(_dot32(w, x, dtype) + b[:, None])
+    c = jnp.asarray(carry[0], jnp.float32).T
+    h = jnp.asarray(carry[1], jnp.float32).T
+    gi = jax.nn.sigmoid(_dot32(wi[0], x, dtype) + _dot32(wh[0], h, dtype)
+                        + bh[0][:, None])
+    gf = jax.nn.sigmoid(_dot32(wi[1], x, dtype) + _dot32(wh[1], h, dtype)
+                        + bh[1][:, None])
+    gg = jnp.tanh(_dot32(wi[2], x, dtype) + _dot32(wh[2], h, dtype)
+                  + bh[2][:, None])
+    go = jax.nn.sigmoid(_dot32(wi[3], x, dtype) + _dot32(wh[3], h, dtype)
+                        + bh[3][:, None])
+    h2 = go * jnp.tanh(gf * c + gi * gg)
+    return (_dot32(vhead[0], h2, dtype) + vhead[1][:, None])[0]
+
+
+def make_pallas_rnn_train_step(
+    optimizer: optax.GradientTransformation,
+    env_params: EnvParams,
+    statics: EnvStatics,
+    cfg: ppo_mod.PPOConfig,
+    axis_name: str | None = None,
+    envs_per_device: int | None = None,
+    mode: str = "kernel",
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+    fused_optimizer: bool = False,
+    sc: int | None = None,
+):
+    """Build the recurrent megakernel train step:
+    RecurrentRunnerState -> (RecurrentRunnerState, metrics).
+
+    mode: "kernel" (Mosaic kernels; interpret=True routes them through the
+    Pallas interpreter for CPU testing) or "reference" (pure-jnp mirrors,
+    bitwise-equal math). compute_dtype applies to the UPDATE kernel's
+    matmuls (the LSTM rollout kernel is f32 — measured bf16-neutral, see
+    ops/pallas_acting_lstm.py). sc: BPTT checkpoint chunk override.
+    Metrics keys match ppo_rnn.make_recurrent_train_step.
+    """
+    if mode not in ("kernel", "reference"):
+        raise ValueError(f"mode must be 'kernel' or 'reference', got {mode!r}")
+    local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
+    assert local_envs % 128 == 0, (
+        f"the megakernel trainer needs num_envs % 128 == 0, got {local_envs}")
+    rows = local_envs // 128
+    assert rows % cfg.num_minibatches == 0, (
+        f"lane rows ({rows} = {local_envs}/128) must divide into "
+        f"{cfg.num_minibatches} minibatches")
+    mb_rows = rows // cfg.num_minibatches
+    bptt = cfg.bptt_horizon if cfg.bptt_horizon else cfg.horizon
+    assert cfg.horizon % bptt == 0, (cfg.horizon, bptt)
+    m_samples = mb_rows * 128 * cfg.horizon
+    co = PU.UpdateConsts(clip_eps=cfg.clip_eps, vf_clip=cfg.vf_clip,
+                         vf_coef=cfg.vf_coef, inv_m=1.0 / m_samples)
+    rbu = PU.pick_row_block(mb_rows)
+    if mode == "kernel" and not interpret and rbu % 8:
+        raise ValueError(
+            f"compiled update kernels need 8-row (1024-lane) minibatch "
+            f"tiles: num_envs/device ({local_envs}) gives {mb_rows} rows "
+            f"per minibatch ({cfg.num_minibatches} minibatches), not a "
+            f"multiple of 8. Use num_envs divisible by "
+            f"{1024 * cfg.num_minibatches}, or interpret=True on CPU.")
+    n_rb = rows // rbu
+    mb_rb = mb_rows // rbu
+    ac = PU.AdamConsts(clip_norm=cfg.max_grad_norm)
+    total_opt_steps = cfg.total_updates * cfg.epochs * cfg.num_minibatches
+
+    def _fused_lr(count):
+        if not cfg.anneal_lr:
+            return jnp.float32(cfg.lr)
+        frac = jnp.minimum(count / jnp.float32(total_opt_steps), 1.0)
+        return jnp.float32(cfg.lr) * (1.0 - frac)
+
+    def rollout(runner):
+        if mode == "kernel":
+            return PAL.traj_lstm_rollout_pallas(
+                runner.env_state, runner.params, runner.carry, env_params,
+                statics, cfg.horizon, bptt=bptt, interpret=interpret,
+                seg_layout="planes")
+        final, out_carry, traj, snap, stats = PAL.traj_lstm_rollout_reference(
+            runner.env_state, runner.params, runner.carry, env_params,
+            statics, cfg.horizon, bptt=bptt, seg_layout="planes")
+        return final, out_carry, PAT.pack_traj_planes(traj, rows), snap, stats
+
+    def train_step(runner: RecurrentRunnerState):
+        key, kperm = jax.random.split(runner.key)
+
+        # --- rollout: planes + carry anchors straight to HBM ---------------
+        final_state, last_carry, planes, snap, stats = rollout(runner)
+        last_obs = jax.vmap(env_mod.observe)(final_state)
+
+        # --- GAE on the planes (shared jnp: identical in both modes) -------
+        last_value = _lstm_value(last_obs, last_carry, runner.params).reshape(
+            rows, 128)
+        adv, ret = ppo_mod.compute_gae(
+            planes[:, TP_REW], planes[:, TP_VAL], planes[:, TP_DONE],
+            last_value, cfg.gamma, cfg.gae_lambda)
+        if axis_name is not None:
+            g_mean = jax.lax.pmean(jnp.mean(adv), axis_name)
+            g_var = jax.lax.pmean(jnp.mean((adv - g_mean) ** 2), axis_name)
+        else:
+            g_mean = jnp.mean(adv)
+            g_var = jnp.var(adv)
+        adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
+        advret = jnp.stack([adv, ret])        # (2, T, rows, 128)
+
+        # --- epochs x minibatches through the BPTT update kernel -----------
+        def _losses(st, ent):
+            pg_loss = st[PU.ST_PG] * co.inv_m
+            v_loss = 0.5 * st[PU.ST_VL] * co.inv_m
+            loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            aux = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
+                       approx_kl=st[PU.ST_KL] * co.inv_m,
+                       clipfrac=st[PU.ST_CF] * co.inv_m)
+            return loss, aux
+
+        def _minibatch_grads(tensors, perm_mb):
+            ls = tensors[-1]
+            ent = jnp.sum(ls[0] + 0.5 * (1.0 + 2.0 * PAT._HALF_LOG_2PI))
+            grads, st = PUL.ppo_lstm_update(
+                planes, advret, snap, perm_mb, tensors[:-1], ls, bptt=bptt,
+                co=co, rbu=rbu, sc=sc, mode=mode, interpret=interpret,
+                compute_dtype=compute_dtype)
+            dls = (st[PU.ST_DLS0:PU.ST_DLS0 + 4]
+                   - cfg.ent_coef).reshape(1, 4)
+            return grads, dls, st, ent
+
+        def sgd_step(carry, perm_mb):
+            params, opt_state = carry
+            tensors, n_enc = lstm_kernel_tensors(params)
+            grads, dls, st, ent = _minibatch_grads(tensors, perm_mb)
+            gtree = lstm_grads_pytree(params, grads, dls.reshape(4), n_enc)
+            if axis_name is not None:
+                gtree = jax.lax.pmean(gtree, axis_name)
+            updates, opt_state = optimizer.update(gtree, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), _losses(st, ent)
+
+        def sgd_step_fused(carry, perm_mb):
+            tensors, mu, nu, count = carry
+            grads, dls, st, ent = _minibatch_grads(tensors, perm_mb)
+            grads = grads + [dls]
+            if axis_name is not None:
+                grads = [jax.lax.pmean(g, axis_name) for g in grads]
+            tensors2, mu2, nu2 = PU.fused_adam(
+                grads, tensors, mu, nu, _fused_lr(count), count, ac=ac,
+                mode=mode, interpret=interpret)
+            return (tensors2, mu2, nu2, count + 1.0), _losses(st, ent)
+
+        if fused_optimizer:
+            tensors0, n_enc0 = lstm_kernel_tensors(runner.params)
+            count0, mu0, nu0 = runner.opt_state
+            carry0 = (tensors0, mu0, nu0, count0)
+            step_fn = sgd_step_fused
+        else:
+            carry0 = (runner.params, runner.opt_state)
+            step_fn = sgd_step
+
+        def epoch_body(carry, ekey):
+            perm = jax.random.permutation(ekey, n_rb)
+
+            def mb_body(carry, mb_idx):
+                perm_mb = jax.lax.dynamic_slice(
+                    perm, (mb_idx * mb_rb,), (mb_rb,))
+                return step_fn(carry, perm_mb)
+
+            return jax.lax.scan(mb_body, carry,
+                                jnp.arange(cfg.num_minibatches))
+
+        epoch_keys = jax.random.split(kperm, cfg.epochs)
+        carry, (losses, auxes) = jax.lax.scan(epoch_body, carry0, epoch_keys)
+        if fused_optimizer:
+            tensors, mu, nu, count = carry
+            params = lstm_tensors_to_params(runner.params, tensors, n_enc0)
+            opt_state = (count, mu, nu)
+        else:
+            params, opt_state = carry
+
+        # --- metrics (keys match ppo_rnn.make_recurrent_train_step) --------
+        n_done = stats["episodes"]
+        ep_ret_sum = stats["ep_return_sum"]
+        ep_len_sum = stats["ep_length_sum"]
+        reward_sum = stats["reward_sum"]
+        if axis_name is not None:
+            n_done = jax.lax.psum(n_done, axis_name)
+            ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
+            ep_len_sum = jax.lax.psum(ep_len_sum, axis_name)
+            reward_sum = jax.lax.psum(reward_sum, axis_name)
+            denom = jnp.float32(cfg.horizon * local_envs) * jax.lax.psum(
+                jnp.float32(1.0), axis_name)
+        else:
+            denom = jnp.float32(cfg.horizon * local_envs)
+        metrics = dict(
+            loss=jnp.mean(losses),
+            reward_mean=reward_sum / denom,
+            episodes=n_done,
+            ep_return_mean=ep_ret_sum / jnp.maximum(n_done, 1.0),
+            ep_length_mean=ep_len_sum / jnp.maximum(n_done, 1.0),
+            **{k: jnp.mean(v) for k, v in auxes.items()},
+        )
+        if axis_name is not None:
+            for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl",
+                      "clipfrac"):
+                metrics[k] = jax.lax.pmean(metrics[k], axis_name)
+
+        runner2 = RecurrentRunnerState(
+            params=params,
+            opt_state=opt_state,
+            env_state=final_state,
+            last_obs=last_obs,
+            carry=last_carry,
+            key=key,
+            update_idx=runner.update_idx + 1,
+        )
+        return runner2, metrics
+
+    return train_step

@@ -75,6 +75,7 @@ def build(cfg: Config):
     # compiled kernels need 1024-aligned lane blocks (Mosaic reshape rule);
     # interpret mode on CPU accepts any 128-multiple
     lane_mult = 128 if backend == "cpu" else 1024
+    rnn_full = False
     if cfg.run.policy == "mlp":
         # megakernel PPO trainer: rollout + update + adam kernels. Compiled
         # runs need 8-row (1024-lane) minibatch tiles on top of the
@@ -82,7 +83,17 @@ def build(cfg: Config):
         eligible = (local_envs % (lane_mult * cfg.train.num_minibatches) == 0
                     and local_envs % lane_mult == 0)
     elif recurrent:
-        # recurrent megakernel rollout feeding the truncated-BPTT update
+        from drone_tpu.ops import pallas_update_lstm as _PUL
+
+        # two recurrent megakernel tiers. Fully fused (rollout + BPTT
+        # update + adam kernels, ppo_rnn_pallas) needs the same minibatch
+        # tiling as the MLP trainer plus a VMEM-feasible bptt; the hybrid
+        # (rollout kernel + XLA segmented_forward update) only needs
+        # aligned lane blocks.
+        bptt = cfg.train.bptt_horizon or cfg.train.horizon
+        rnn_full = (local_envs % (lane_mult * cfg.train.num_minibatches) == 0
+                    and cfg.train.horizon % bptt == 0
+                    and (backend == "cpu" or bptt <= _PUL.MAX_KERNEL_BPTT))
         eligible = (local_envs % lane_mult == 0
                     and local_envs % cfg.train.num_minibatches == 0)
     else:
@@ -107,24 +118,48 @@ def build(cfg: Config):
                          f"got {cfg.run.rollout!r}")
 
     if use_mesh:
-        from drone_tpu import ppo_pallas
+        from drone_tpu import ppo_pallas, ppo_rnn_pallas
 
         mesh = make_mesh()
         if use_pallas and not recurrent:
             runner = runner.replace(
                 opt_state=ppo_pallas.init_fused_opt_state(runner.params))
+        elif use_pallas and rnn_full:
+            runner = runner.replace(
+                opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
+        if not use_pallas:
+            trainer = "scan"
+        elif recurrent and not rnn_full:
+            trainer = "pallas_rollout"
+        else:
+            trainer = "pallas"
         runner = place_runner(mesh, runner)
         step = make_sharded_train_step(
             model.apply, opt, env.params, env.statics, cfg.train, mesh,
-            example_runner=runner, recurrent=recurrent,
-            trainer="pallas" if use_pallas else "scan",
+            example_runner=runner, recurrent=recurrent, trainer=trainer,
             interpret=backend == "cpu",
             compute_dtype=cfg.run.compute_dtype,
         )
+    elif use_pallas and recurrent and rnn_full:
+        from drone_tpu import ppo_rnn_pallas
+
+        mesh = None
+        # fully-fused recurrent megakernel trainer: LSTM rollout + BPTT
+        # update + adam, all Pallas (cross-trainer resume converts the
+        # fused opt state — see _restore_any_trainer)
+        runner = runner.replace(
+            opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
+        step = jax.jit(ppo_rnn_pallas.make_pallas_rnn_train_step(
+            opt, env.params, env.statics, cfg.train,
+            interpret=backend == "cpu",
+            compute_dtype=cfg.run.compute_dtype, fused_optimizer=True))
     elif use_pallas and recurrent:
         from drone_tpu import ppo_rnn
 
         mesh = None
+        # hybrid tier: kernel rollout, XLA segmented_forward update (the
+        # batch shape or bptt_horizon is outside the update kernel's
+        # envelope)
         step = jax.jit(ppo_rnn.make_recurrent_train_step(
             model.apply, opt, env.params, env.statics, cfg.train,
             rollout="pallas", rollout_interpret=backend == "cpu"))
@@ -159,18 +194,18 @@ def _restore_any_trainer(restorer, runner, opt, cfg):
     *.pt resume is trainer-agnostic (SURVEY.md §5 checkpoint/resume)."""
     from drone_tpu import ppo_pallas
 
+    if cfg.run.policy == "lstm":
+        from drone_tpu import ppo_rnn_pallas as conv_mod
+    else:
+        conv_mod = ppo_pallas
+
     try:
         return restorer.restore(runner)
     except Exception as e:  # noqa: BLE001 — orbax raises various types
-        if cfg.run.policy == "lstm":
-            raise RuntimeError(
-                f"checkpoint at {restorer.dir} does not match this "
-                f"recurrent run's training state (saved by a different "
-                f"policy/num_envs config?)") from e
         first_err = e
     cur_fused = ppo_pallas.is_fused_opt_state(runner.opt_state)
     alt_opt_state = (opt.init(runner.params) if cur_fused
-                     else ppo_pallas.init_fused_opt_state(runner.params))
+                     else conv_mod.init_fused_opt_state(runner.params))
     alt = runner.replace(opt_state=alt_opt_state)
     try:
         restored, step = restorer.restore(alt)
@@ -182,10 +217,10 @@ def _restore_any_trainer(restorer, runner, opt, cfg):
             f"sizes, or num_envs between the saving and resuming configs."
         ) from first_err
     if cur_fused:
-        conv = ppo_pallas.optax_to_fused_opt_state(restored.opt_state)
+        conv = conv_mod.optax_to_fused_opt_state(restored.opt_state)
         kind = "scan/optax -> megakernel/fused-adam"
     else:
-        conv = ppo_pallas.fused_to_optax_opt_state(
+        conv = conv_mod.fused_to_optax_opt_state(
             opt, restored.params, restored.opt_state)
         kind = "megakernel/fused-adam -> scan/optax"
     print(f"converted optimizer state ({kind}; adam moments preserved)")

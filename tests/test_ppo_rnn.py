@@ -152,6 +152,41 @@ def test_train_py_lstm_wiring(tmp_path):
     assert np.isfinite(fast["ep_return_mean"]) and fast["ep_return_std"] >= 0
 
 
+def test_train_py_lstm_megakernel_dispatch(tmp_path):
+    """run.rollout=pallas routes the LSTM policy to the fully-fused
+    recurrent megakernel trainer when the batch shape supports the update
+    kernel's minibatch tiling (fused-adam opt state), and to the hybrid
+    rollout-kernel + XLA-update tier otherwise (optax opt state)."""
+    from drone_tpu import ppo_pallas
+    from drone_tpu.train import train
+    from drone_tpu.utils.config import Config
+
+    base = [
+        "run.policy=lstm", "run.lstm_hidden=8", "run.total_updates=2",
+        "run.log_interval=1", "run.checkpoint_interval=100",
+        "train.horizon=8", "train.epochs=1", "train.num_minibatches=2",
+        "run.mesh=false", "run.rollout=pallas", "run.save_final=false",
+    ]
+    cfg = Config.default().with_overrides(base + ["train.num_envs=256"])
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.run.hidden = (8,)
+    cfg.run.run_name = "full"
+    runner, last = train(cfg)
+    assert np.isfinite(last["loss"])
+    assert ppo_pallas.is_fused_opt_state(runner.opt_state)
+    assert float(runner.opt_state[0]) == 2 * 1 * 2  # updates*epochs*mb
+
+    # 128 envs = 1 lane row: minibatches can't tile the env axis for the
+    # update kernel -> the hybrid tier (rollout kernel, optax update)
+    cfg2 = Config.default().with_overrides(base + ["train.num_envs=128"])
+    cfg2.run.checkpoint_dir = str(tmp_path)
+    cfg2.run.hidden = (8,)
+    cfg2.run.run_name = "hybrid"
+    runner2, last2 = train(cfg2)
+    assert np.isfinite(last2["loss"])
+    assert not ppo_pallas.is_fused_opt_state(runner2.opt_state)
+
+
 def test_bad_policy_rejected():
     from drone_tpu.train import build
     from drone_tpu.utils.config import Config

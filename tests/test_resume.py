@@ -183,3 +183,45 @@ def test_resume_megakernel_trainer_bitwise(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ra),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cross_trainer_resume_recurrent_both_directions(tmp_path):
+    """Recurrent cross-trainer portability through the train() driver:
+    a checkpoint written by the scan recurrent trainer (optax) resumes
+    under the recurrent MEGAKERNEL trainer (fused adam in LSTM kernel
+    layout) with momentum carried over, and the reverse."""
+    from drone_tpu import ppo_pallas
+
+    mk = ["train.num_envs=256", "run.policy=lstm"]
+
+    def rcfg(name, total, ckpt_every, resume_from="", extra=()):
+        cfg = _cfg(tmp_path, name, total, ckpt_every,
+                   resume_from=resume_from, extra=mk + list(extra))
+        cfg.run.lstm_hidden = 16
+        return cfg
+
+    # scan/optax -> recurrent megakernel/fused-adam
+    train(rcfg("rsc", 2, 2, extra=["run.rollout=scan"]))
+    rb, last = train(rcfg(
+        "rsc2pal", 4, 100,
+        resume_from=str(tmp_path / "rsc" / "checkpoints"),
+        extra=["run.rollout=pallas"]))
+    assert ppo_pallas.is_fused_opt_state(rb.opt_state)
+    assert int(rb.update_idx) == 4
+    # momentum carried: count continued from 8 (2u*2e*2mb), not from 0
+    assert float(rb.opt_state[0]) == 16.0
+    assert np.isfinite(last["loss"])
+
+    # recurrent megakernel/fused-adam -> scan/optax
+    train(rcfg("rpal", 2, 2, extra=["run.rollout=pallas"]))
+    rc, last2 = train(rcfg(
+        "rpal2sc", 4, 100,
+        resume_from=str(tmp_path / "rpal" / "checkpoints"),
+        extra=["run.rollout=scan"]))
+    assert not ppo_pallas.is_fused_opt_state(rc.opt_state)
+    assert int(rc.update_idx) == 4
+    import optax as _optax
+
+    adam = ppo_pallas._find_state(rc.opt_state, _optax.ScaleByAdamState)
+    assert int(adam.count) == 16
+    assert np.isfinite(last2["loss"])

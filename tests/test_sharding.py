@@ -179,9 +179,43 @@ def test_sharded_megakernel_trainer():
 
 
 def test_sharded_recurrent_megakernel_trainer():
-    """DP recurrent trainer with the LSTM trajectory KERNEL rollout over the
-    8-device virtual mesh (interpret): runs, stays finite, params stay
-    replicated — the megakernel trainer is no longer MLP-only."""
+    """DP fully-fused recurrent megakernel trainer (LSTM rollout kernel +
+    BPTT update kernel + fused adam) over the 8-device virtual mesh
+    (interpret): runs, stays finite, params stay replicated — all three
+    policy families shard at kernel speed."""
+    from drone_tpu import ppo_rnn, ppo_rnn_pallas
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.parallel.mesh import place_runner
+
+    env = drone_tpu.DroneEnv()
+    model = LSTMActorCritic(hidden=16, encoder=(16,))
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=8 * 256, epochs=1,
+                            num_minibatches=2, bptt_horizon=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
+    mesh = make_mesh()
+    runner = place_runner(mesh, runner)
+    step = make_sharded_train_step(
+        model.apply, opt, env.params, env.statics, cfg, mesh,
+        example_runner=runner, recurrent=True, trainer="pallas",
+        interpret=True)
+    for _ in range(2):
+        runner, m = step(runner)
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(runner.params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(shards[0], sh)
+    # fused adam counted every sgd step (1 epoch x 2 minibatches x 2 updates)
+    assert float(runner.opt_state[0]) == 1 * 2 * 2
+
+
+def test_sharded_recurrent_rollout_kernel_trainer():
+    """DP hybrid recurrent tier (trainer='pallas_rollout': LSTM rollout
+    kernel + XLA segmented_forward update) — the fallback when the batch
+    shape or bptt is outside the update kernel's envelope."""
     from drone_tpu import ppo_rnn
     from drone_tpu.models import LSTMActorCritic
     from drone_tpu.parallel.mesh import place_runner
@@ -196,7 +230,7 @@ def test_sharded_recurrent_megakernel_trainer():
     runner = place_runner(mesh, runner)
     step = make_sharded_train_step(
         model.apply, opt, env.params, env.statics, cfg, mesh,
-        example_runner=runner, recurrent=True, trainer="pallas",
+        example_runner=runner, recurrent=True, trainer="pallas_rollout",
         interpret=True)
     for _ in range(2):
         runner, m = step(runner)

@@ -340,6 +340,74 @@ def test_megakernel_learning_gate_on_tpu():
     assert last > first + 0.1, (first, last)
 
 
+def test_lstm_update_kernel_grads_on_tpu():
+    """Compiled truncated-BPTT LSTM update megakernel vs its jnp mirror on
+    the chip, production tile (rbu=8, hidden=128) — silicon matmul
+    tolerance, same doctrine as test_update_kernel_grads_on_tpu (the
+    exact-f32 kernel-vs-mirror gate runs on the CPU backend)."""
+    from drone_tpu import ppo_rnn_pallas as PRP
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.ops import pallas_update_lstm as PUL
+    from drone_tpu.ops import traj_lstm_rollout_pallas
+
+    env = drone_tpu.DroneEnv()
+    model = LSTMActorCritic(hidden=128, encoder=(64,))
+    N, T, bptt = 1024, 16, 8
+    carry = model.initial_carry((N,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)),
+                        jax.tree_util.tree_map(lambda c: c[:1], carry))
+    _, _, planes, snap, _ = traj_lstm_rollout_pallas(
+        env.init_batch(7, N), params, carry, env.params, env.statics, T,
+        bptt=bptt, lanes_per_block=N, seg_layout="planes")
+    rows = N // 128
+    adv = jax.random.normal(jax.random.PRNGKey(2), (T, rows, 128))
+    advret = jnp.stack([adv, planes[:, PAT.TP_VAL] + 0.5 * adv])
+    tensors, _ = PRP.lstm_kernel_tensors(params)
+    co = PU.UpdateConsts(0.2, 10.0, 0.5, 1.0 / (N * T))
+    perm = jnp.asarray([0], jnp.int32)
+    gk, sk = PUL.ppo_lstm_update(planes, advret, snap, perm, tensors[:-1],
+                                 tensors[-1], bptt=bptt, co=co, rbu=8,
+                                 mode="kernel")
+    gr, sr = PUL.ppo_lstm_update(planes, advret, snap, perm, tensors[:-1],
+                                 tensors[-1], bptt=bptt, co=co, rbu=8,
+                                 mode="reference")
+    # BPTT gradients traverse up to 8 chained matmul steps -> the bound is
+    # looser than the one-step forward test, same shape of reasoning
+    for i, (a, b) in enumerate(zip(gk, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=8e-2, atol=2e-3,
+                                   err_msg=f"grad[{i}]")
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sr),
+                               rtol=5e-2, atol=1e-2)
+
+
+def test_rnn_megakernel_train_step_on_tpu():
+    """Two compiled recurrent megakernel train steps on the chip (LSTM
+    rollout kernel + BPTT update kernel + fused adam): finite metrics,
+    params move, fused-adam step count right."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_rnn, ppo_rnn_pallas
+    from drone_tpu.models import LSTMActorCritic
+
+    env = drone_tpu.DroneEnv()
+    model = LSTMActorCritic(hidden=128, encoder=(64,))
+    cfg = ppo_mod.PPOConfig(horizon=16, num_envs=2048, epochs=2,
+                            num_minibatches=2, bptt_horizon=8)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
+    step = jax.jit(ppo_rnn_pallas.make_pallas_rnn_train_step(
+        opt, env.params, env.statics, cfg, fused_optimizer=True))
+    before = jax.tree_util.tree_leaves(runner.params)
+    for _ in range(2):
+        runner, m = step(runner)
+    assert all(np.isfinite(float(v)) for v in m.values())
+    after = jax.tree_util.tree_leaves(runner.params)
+    assert max(float(jnp.abs(a - b).max()) for a, b in zip(after, before)) > 0
+    assert float(runner.opt_state[0]) == 8.0  # 2 updates * 2 epochs * 2 mb
+
+
 def test_traj_chained_calls_on_tpu():
     """Compiled trajectory kernel: two chained T-step calls equal one
     2T-step call on silicon (the episode-step-keyed noise stream continues
