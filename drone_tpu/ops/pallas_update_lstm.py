@@ -261,11 +261,14 @@ def _lstm_update_kernel(perm_ref, pl_ref, ar_ref, snap_ref, ls_ref, *refs,
 
     planes = pl_ref[:, :, 0]        # (bptt, N_TRAJ, 1, rbu, 128) -> drop n_rb
     ar = ar_ref[:, :, 0]            # (2, bptt, 1, rbu, 128) -> drop n_rb
-    hidden = snap_ref.shape[2]
+    hidden = snap_ref.shape[1] // 2
     rbu = planes.shape[2]
     L = rbu * 128
-    c0 = snap_ref[0, 0, :, 0].reshape(hidden, L)   # (H, rbu, 128) -> (H, L)
-    h0 = snap_ref[0, 1, :, 0].reshape(hidden, L)
+    # snap block is (1, 2H, 1, rbu, 128): the (2, H) pair flattened into one
+    # axis to keep every BlockSpec at rank <= 5 (the rank the rest of the
+    # Mosaic surface is proven at); static slices split it back
+    c0 = snap_ref[0, :hidden, 0].reshape(hidden, L)
+    h0 = snap_ref[0, hidden:, 0].reshape(hidden, L)
     grads, stats = _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc,
                                   compute_dtype)
     for r, val in zip(g_refs, grads):
@@ -293,7 +296,9 @@ def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
     # a major dim contiguously: layout-preserving, no copy.
     planes = planes.reshape(T, N_TRAJ, n_rb, rbu, 128)
     advret = advret.reshape(2, T, n_rb, rbu, 128)
-    snap = snap.reshape(n_seg, 2, hidden, n_rb, rbu, 128)
+    # (S, 2, H, N): merge (2, H) -> 2H (contiguous, layout-preserving) so
+    # the anchor BlockSpec stays rank 5
+    snap = snap.reshape(n_seg, 2 * hidden, n_rb, rbu, 128)
     tensors = tuple(tensors)
 
     def full(shp):
@@ -315,9 +320,10 @@ def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
                          lambda g, s, p: (0, s, p[g], 0, 0),
                          memory_space=pltpu.VMEM),
             # the carry anchor recorded by the rollout kernel for (segment,
-            # row-block) — its natural (S, 2, H, N) layout, lane-sliced
-            pl.BlockSpec((1, 2, hidden, 1, rbu, 128),
-                         lambda g, s, p: (s, 0, 0, p[g], 0, 0),
+            # row-block) — its natural (S, 2, H, N) layout ((2, H) merged),
+            # lane-sliced
+            pl.BlockSpec((1, 2 * hidden, 1, rbu, 128),
+                         lambda g, s, p: (s, 0, p[g], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda g, s, p: (0, 0),
                          memory_space=pltpu.SMEM),
