@@ -52,13 +52,45 @@ from drone_tpu.ops.pallas_acting_traj import (
     TP_VAL,
     Traj,
     _gauss4_planes,
-    _planes_to_traj,
     _sample_logp,
     pick_time_chunk,
 )
 from drone_tpu.types import OBS_DIM, EnvParams, EnvState, EnvStatics
 
 _GATES = ("i", "f", "g", "o")
+
+
+def lstm_encoder(X, enc, dot):
+    """THE shared encoder tower (plane space): X (OBS_DIM, L), enc
+    [(W (H,in), b (H,1))...]. Returns the per-layer activation list
+    (acts[0] = X, acts[-1] = the LSTM input). Shared verbatim by the
+    rollout kernels, their jnp mirrors, the BPTT update kernel
+    (ops/pallas_update_lstm.py), and the trainer's value head
+    (ppo_rnn_pallas._lstm_value) — change the math here only, never fork a
+    copy (the bitwise kernel/mirror contracts depend on one evaluation
+    order)."""
+    acts = [X]
+    x = X
+    for w, b in enc:
+        x = jnp.tanh(dot(w, x) + b)
+        acts.append(x)
+    return acts
+
+
+def lstm_gates(x, h, cc, wi, wh, bh, dot):
+    """THE shared LSTM gate block (flax LSTMCell semantics, plane space):
+    x (in, L) encoder output, h/cc (H, L) carry, wi/wh 4 gate kernels,
+    bh 4 (H, 1) bias columns, dot the caller's matmul. Returns
+    (gi, gf, gg, go, cc2, th, h2). Same sharing contract as
+    lstm_encoder."""
+    gi = jax.nn.sigmoid(dot(wi[0], x) + dot(wh[0], h) + bh[0])
+    gf = jax.nn.sigmoid(dot(wi[1], x) + dot(wh[1], h) + bh[1])
+    gg = jnp.tanh(dot(wi[2], x) + dot(wh[2], h) + bh[2])
+    go = jax.nn.sigmoid(dot(wi[3], x) + dot(wh[3], h) + bh[3])
+    cc2 = gf * cc + gi * gg
+    th = jnp.tanh(cc2)
+    h2 = go * th
+    return gi, gf, gg, go, cc2, th, h2
 
 
 def lstm_weights(params):
@@ -115,17 +147,13 @@ def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+    enc_c = [(w, b[:, None]) for w, b in enc]
+    bh_c = [b[:, None] for b in bh]
+
     def body(t, carry):
         s, h, cc, acc = carry
-        x = PR.obs_matrix(s, L)
-        for w, b in enc:
-            x = jnp.tanh(dot(w, x) + b[:, None])
-        gi = jax.nn.sigmoid(dot(wi[0], x) + dot(wh[0], h) + bh[0][:, None])
-        gf = jax.nn.sigmoid(dot(wi[1], x) + dot(wh[1], h) + bh[1][:, None])
-        gg = jnp.tanh(dot(wi[2], x) + dot(wh[2], h) + bh[2][:, None])
-        go = jax.nn.sigmoid(dot(wi[3], x) + dot(wh[3], h) + bh[3][:, None])
-        cc2 = gf * cc + gi * gg
-        h2 = go * jnp.tanh(cc2)
+        x = lstm_encoder(PR.obs_matrix(s, L), enc_c, dot)[-1]
+        *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mean = dot(head_w, h2) + head_b[:, None]  # (4, L)
         a0 = mean[0].reshape(shape)
         a1 = mean[1].reshape(shape)
@@ -264,6 +292,9 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+    enc_c = [(w, b[:, None]) for w, b in enc]
+    bh_c = [b[:, None] for b in bh]
+
     def body(s, carry):
         c, h, cc, acc = carry
         # BPTT anchor: the carry ENTERING the first step of each segment.
@@ -274,15 +305,8 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
         snap_ref[0, 0] = jnp.where(is_start, cc, snap_ref[0, 0])
         snap_ref[0, 1] = jnp.where(is_start, h, snap_ref[0, 1])
         X = PR.obs_matrix(c, L)
-        x = X
-        for w, b in enc:
-            x = jnp.tanh(dot(w, x) + b[:, None])
-        gi = jax.nn.sigmoid(dot(wi[0], x) + dot(wh[0], h) + bh[0][:, None])
-        gf = jax.nn.sigmoid(dot(wi[1], x) + dot(wh[1], h) + bh[1][:, None])
-        gg = jnp.tanh(dot(wi[2], x) + dot(wh[2], h) + bh[2][:, None])
-        go = jax.nn.sigmoid(dot(wi[3], x) + dot(wh[3], h) + bh[3][:, None])
-        cc2 = gf * cc + gi * gg
-        h2 = go * jnp.tanh(cc2)
+        x = lstm_encoder(X, enc_c, dot)[-1]
+        *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mx = dot(head_w, h2) + head_b[:, None]     # (4, L)
         vx = dot(vh_w, h2) + vh_b[:, None]         # (1, L)
         m = [mx[k].reshape(shape) for k in range(4)]
@@ -434,6 +458,20 @@ def traj_lstm_rollout_pallas(state: EnvState, policy_params, carry,
             f"interpret=True for small CPU runs.")
     tc = time_chunk if time_chunk is not None else pick_time_chunk(bptt)
     assert bptt % tc == 0, (bptt, tc)
+    if not interpret and tc != T and tc % 8:
+        # the trajectory output blocks (tc, N_TRAJ, rb, 128) tile a T-long
+        # axis, so Mosaic needs tc to be a multiple of 8 or the whole of T.
+        # tc divides bptt (snapshots land on chunk boundaries), so when
+        # bptt < T and bptt isn't a multiple of 8 there is NO legal chunk —
+        # interpret-mode tests can't see this (pick_time_chunk's k == T
+        # escape is relative to bptt here, not the array's T).
+        raise ValueError(
+            f"compiled LSTM trajectory kernel needs bptt_horizon to be a "
+            f"multiple of 8, or equal to the rollout horizon (got "
+            f"bptt={bptt}, horizon={T} -> time chunk {tc}, not a legal "
+            f"Mosaic trailing block dim). Use bptt_horizon in "
+            f"{{8, 16, 24, ...}} or bptt_horizon == horizon, or "
+            f"interpret=True for CPU runs.")
     assert seg_layout in ("batch", "planes"), seg_layout
     final, out_carry, traj, snap, stats = _traj_run(
         state, tuple(carry), (tuple(enc), wi, wh, bh, head, vhead), ls,
@@ -470,19 +508,15 @@ def traj_lstm_rollout_reference(state: EnvState, policy_params, carry,
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+    enc_c = [(w, b[:, None]) for w, b in enc]
+    bh_c = [b[:, None] for b in bh]
+
     def body(c, _):
         s, h, cc = c
         obs = jax.vmap(env_mod.observe)(s)            # (B, OBS_DIM)
         X = obs.T
-        x = X
-        for w, b in enc:
-            x = jnp.tanh(dot(w, x) + b[:, None])
-        gi = jax.nn.sigmoid(dot(wi[0], x) + dot(wh[0], h) + bh[0][:, None])
-        gf = jax.nn.sigmoid(dot(wi[1], x) + dot(wh[1], h) + bh[1][:, None])
-        gg = jnp.tanh(dot(wi[2], x) + dot(wh[2], h) + bh[2][:, None])
-        go = jax.nn.sigmoid(dot(wi[3], x) + dot(wh[3], h) + bh[3][:, None])
-        cc2 = gf * cc + gi * gg
-        h2 = go * jnp.tanh(cc2)
+        x = lstm_encoder(X, enc_c, dot)[-1]
+        *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mx = dot(head[0], h2) + head[1][:, None]
         vx = dot(vhead[0], h2) + vhead[1][:, None]
         m = [mx[k] for k in range(4)]

@@ -83,25 +83,15 @@ def _lstm_step_fwd(X, c, h, enc, wi, wh, bh, dtype):
     """One encoder+LSTM step in plane space: X (OBS_DIM, L), c/h (H, L).
 
     Returns (acts, gi, gf, gg, go, c2, th, h2) where acts[i] is the input
-    to encoder layer i (acts[-1] = the LSTM input x). The gate expressions
-    are EXACTLY the rollout kernel's (ops/pallas_acting_lstm.py) — shared
-    evaluation order, so recomputed activations match the rollout's
-    bitwise at the first minibatch."""
-    acts = [X]
-    x = X
-    for w, b in enc:
-        x = jnp.tanh(_dot32(w, x, dtype) + b)
-        acts.append(x)
-    gi = jax.nn.sigmoid(_dot32(wi[0], x, dtype) + _dot32(wh[0], h, dtype)
-                        + bh[0])
-    gf = jax.nn.sigmoid(_dot32(wi[1], x, dtype) + _dot32(wh[1], h, dtype)
-                        + bh[1])
-    gg = jnp.tanh(_dot32(wi[2], x, dtype) + _dot32(wh[2], h, dtype) + bh[2])
-    go = jax.nn.sigmoid(_dot32(wi[3], x, dtype) + _dot32(wh[3], h, dtype)
-                        + bh[3])
-    c2 = gf * c + gi * gg
-    th = jnp.tanh(c2)
-    h2 = go * th
+    to encoder layer i (acts[-1] = the LSTM input x). Built on the SHARED
+    encoder/gate blocks (ops/pallas_acting_lstm.lstm_encoder/lstm_gates —
+    one evaluation order across rollout and update), so recomputed
+    activations match the rollout's bitwise at the first minibatch."""
+    from drone_tpu.ops.pallas_acting_lstm import lstm_encoder, lstm_gates
+
+    dot = lambda a, b: _dot32(a, b, dtype)
+    acts = lstm_encoder(X, enc, dot)
+    gi, gf, gg, go, c2, th, h2 = lstm_gates(acts[-1], h, c, wi, wh, bh, dot)
     return acts, gi, gf, gg, go, c2, th, h2
 
 

@@ -149,24 +149,18 @@ def fused_to_optax_opt_state(optimizer, params, fused_state):
 
 def _lstm_value(obs, carry, params, dtype=jnp.float32):
     """Critic value at `obs` given the flax carry (c, h), in the kernels'
-    plane-space matmul formulation (shared jnp — identical in kernel and
-    reference trainer modes). Returns (N,) values."""
+    plane-space matmul formulation (built on the shared
+    lstm_encoder/lstm_gates blocks — identical in kernel and reference
+    trainer modes). Returns (N,) values."""
     enc, wi, wh, bh, head, vhead, _ = PAL.lstm_all_weights(params)
-    x = obs.T
-    for w, b in enc:
-        x = jnp.tanh(_dot32(w, x, dtype) + b[:, None])
+    dot = lambda a, b: _dot32(a, b, dtype)
+    enc_c = [(w, b[:, None]) for w, b in enc]
+    bh_c = [b[:, None] for b in bh]
+    x = PAL.lstm_encoder(obs.T, enc_c, dot)[-1]
     c = jnp.asarray(carry[0], jnp.float32).T
     h = jnp.asarray(carry[1], jnp.float32).T
-    gi = jax.nn.sigmoid(_dot32(wi[0], x, dtype) + _dot32(wh[0], h, dtype)
-                        + bh[0][:, None])
-    gf = jax.nn.sigmoid(_dot32(wi[1], x, dtype) + _dot32(wh[1], h, dtype)
-                        + bh[1][:, None])
-    gg = jnp.tanh(_dot32(wi[2], x, dtype) + _dot32(wh[2], h, dtype)
-                  + bh[2][:, None])
-    go = jax.nn.sigmoid(_dot32(wi[3], x, dtype) + _dot32(wh[3], h, dtype)
-                        + bh[3][:, None])
-    h2 = go * jnp.tanh(gf * c + gi * gg)
-    return (_dot32(vhead[0], h2, dtype) + vhead[1][:, None])[0]
+    *_, h2 = PAL.lstm_gates(x, h, c, wi, wh, bh_c, dot)
+    return (dot(vhead[0], h2) + vhead[1][:, None])[0]
 
 
 def make_pallas_rnn_train_step(

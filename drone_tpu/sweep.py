@@ -48,7 +48,6 @@ model, repeats). Capability parity here:
 
 from __future__ import annotations
 
-import functools
 import json
 import math
 import random
@@ -263,7 +262,13 @@ def _default_train_fn(cfg):
 
 def _timed_call(train_fn, cfg):
     t0 = time.perf_counter()
-    final = train_fn(cfg)
+    try:
+        final = train_fn(cfg)
+    except Exception as e:  # noqa: BLE001 — a diverged/crashed trial is a
+        # data point (score -inf feeds the suggester's failure penalty),
+        # not a reason to abort the sweep or discard its batch-mates
+        print(f"[sweep] trial failed: {e!r}")
+        final = None
     return final, time.perf_counter() - t0
 
 
@@ -348,12 +353,24 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
         return float("-inf") if math.isnan(s) else s
 
     def run_batch(cfgs):
-        """-> [(final_metrics, seconds)]"""
+        """Yield (final_metrics, seconds) per trial IN ORDER as results
+        land: the caller journals each completed trial before the next is
+        awaited, and a worker that dies outright (OOM-kill and the like)
+        yields (None, nan) instead of discarding its finished
+        batch-mates — the journal's 'a crash costs one trial' durability
+        claim holds under workers > 1 too."""
         if workers > 1 and len(cfgs) > 1:
             with ProcessPoolExecutor(max_workers=workers) as ex:
-                return list(ex.map(functools.partial(_timed_call, train_fn),
-                                   cfgs))
-        return [_timed_call(train_fn, c) for c in cfgs]
+                futs = [ex.submit(_timed_call, train_fn, c) for c in cfgs]
+                for f in futs:
+                    try:
+                        yield f.result()
+                    except Exception as e:  # noqa: BLE001 — process death
+                        print(f"[sweep] trial worker died: {e!r}")
+                        yield None, float("nan")
+        else:
+            for c in cfgs:
+                yield _timed_call(train_fn, c)
 
     def record(rung, idx, point, score, seconds):
         if sug:

@@ -91,11 +91,18 @@ def build(cfg: Config):
         # (rollout kernel + XLA segmented_forward update) only needs
         # aligned lane blocks.
         bptt = cfg.train.bptt_horizon or cfg.train.horizon
+        # the COMPILED rollout kernel's trajectory time chunk must be a
+        # multiple of 8 or span the whole horizon (Mosaic trailing-block
+        # rule; see traj_lstm_rollout_pallas), and the chunk divides bptt —
+        # so on silicon both recurrent kernel tiers need a conforming bptt
+        bptt_ok = (backend == "cpu" or bptt % 8 == 0
+                   or bptt == cfg.train.horizon)
         rnn_full = (local_envs % (lane_mult * cfg.train.num_minibatches) == 0
-                    and cfg.train.horizon % bptt == 0
+                    and cfg.train.horizon % bptt == 0 and bptt_ok
                     and (backend == "cpu" or bptt <= _PUL.MAX_KERNEL_BPTT))
         eligible = (local_envs % lane_mult == 0
-                    and local_envs % cfg.train.num_minibatches == 0)
+                    and local_envs % cfg.train.num_minibatches == 0
+                    and bptt_ok)
     else:
         eligible = False
     if cfg.run.rollout == "auto":
@@ -107,9 +114,12 @@ def build(cfg: Config):
             raise ValueError(
                 "run.rollout='pallas' needs the MLP policy (num_envs "
                 "divisible by 128*num_minibatches) or the LSTM policy "
-                f"(num_envs divisible by 128), got policy="
-                f"{cfg.run.policy!r}, num_envs={cfg.train.num_envs}, "
-                f"num_minibatches={cfg.train.num_minibatches}")
+                "(num_envs divisible by 128 AND by num_minibatches; on "
+                "TPU, bptt_horizon a multiple of 8 or equal to the "
+                f"horizon), got policy={cfg.run.policy!r}, "
+                f"num_envs={cfg.train.num_envs}, "
+                f"num_minibatches={cfg.train.num_minibatches}, "
+                f"bptt_horizon={cfg.train.bptt_horizon}")
         use_pallas = True
     elif cfg.run.rollout == "scan":
         use_pallas = False
@@ -201,6 +211,10 @@ def _restore_any_trainer(restorer, runner, opt, cfg):
 
     try:
         return restorer.restore(runner)
+    except FileNotFoundError:
+        # no checkpoint at all — not a layout problem; the original error
+        # names the path and is the right diagnosis
+        raise
     except Exception as e:  # noqa: BLE001 — orbax raises various types
         first_err = e
     cur_fused = ppo_pallas.is_fused_opt_state(runner.opt_state)

@@ -231,3 +231,21 @@ def test_lstm_traj_chained_calls_consume_fresh_noise():
     np.testing.assert_array_equal(
         np.asarray(pack_fstate_batch(fin)).view(np.uint32),
         np.asarray(pack_fstate_batch(full)).view(np.uint32))
+
+
+def test_compiled_bptt_chunk_guard():
+    """Compiled mode refuses a bptt_horizon whose time chunk can't satisfy
+    the Mosaic trailing-block rule (multiple of 8, or the whole horizon)
+    with an actionable error; interpret mode accepts any divisor (see
+    tests above). bptt == T stays legal at any value (the chunk spans the
+    whole axis)."""
+    import pytest
+
+    env, model, params = _setup(hidden=8, encoder=(8,))
+    N = 1024  # past the lane-alignment guard, into the chunk guard
+    carry = model.initial_carry((N,))
+    state = env.init_batch(0, N)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        PAL.traj_lstm_rollout_pallas(state, params, carry, env.params,
+                                     env.statics, 32, bptt=4,
+                                     interpret=False)

@@ -151,6 +151,31 @@ def test_failure_penalty_does_not_ratchet():
     assert sug.y[1:] == [-3.0, -3.0, -3.0, -3.0]
 
 
+def test_diverged_trial_does_not_abort_sweep(tmp_path):
+    """A trial that raises an ordinary Exception (diverged run, bad config)
+    scores -inf and the sweep carries on — batch-mates and later trials
+    still train and the failed point is journaled."""
+    cfg = Config.default()
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.sweep = {"metric": "score", "trials": 4, "rungs": [1],
+                 "keep": 0.5, "space": SPACE, "suggester": "random"}
+    out = tmp_path / "results.json"
+    n = []
+
+    def flaky(c):
+        n.append(1)
+        if len(n) == 2:
+            raise RuntimeError("diverged")
+        return _fake_train(c)
+
+    results = run_sweep(cfg, out_path=out, train_fn=flaky)
+    assert len(results) == 4
+    assert sum(r["score"] == float("-inf") for r in results) == 1
+    assert sum(math.isfinite(r["score"]) for r in results) == 3
+    journal = tmp_path / "results.json.jsonl"
+    assert len(journal.read_text().splitlines()) == 4
+
+
 def test_sweep_journal_and_resume(tmp_path):
     """A sweep interrupted mid-run resumes from its journal: completed
     trials are replayed, only the remainder re-trains."""
@@ -164,14 +189,17 @@ def test_sweep_journal_and_resume(tmp_path):
 
     def crashy(c):
         if len(calls) >= 4:
-            raise RuntimeError("simulated crash at trial 4")
+            # a HARD crash (SIGINT/OOM-kill class) — BaseException escapes
+            # _timed_call's Exception net, which exists to keep mere
+            # diverged trials from aborting the sweep
+            raise KeyboardInterrupt("simulated crash at trial 4")
         calls.append(c.run.run_name)
         return _fake_train(c)
 
     try:
         run_sweep(cfg, out_path=out, train_fn=crashy)
         raise AssertionError("crash did not fire")
-    except RuntimeError:
+    except KeyboardInterrupt:
         pass
     journal = tmp_path / "results.json.jsonl"
     assert journal.exists()
