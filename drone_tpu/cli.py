@@ -39,6 +39,7 @@ def main(argv=None):
         ("bench", "measure env throughput"),
         ("sweep", "hyperparameter sweep ([sweep] section)"),
         ("export", "export actor weights for the C runtime (DRNW)"),
+        ("autotune", "measure train-SPS over batch shapes, report the best"),
     ):
         p = sub.add_parser(name, help=helptext)
         p.add_argument("config", nargs="?", default=None,
@@ -47,6 +48,9 @@ def main(argv=None):
                        help="dotted overrides, e.g. train.lr=1e-4 env.task=waypoint")
         if name == "export":
             p.add_argument("--out", default="policy.drnw")
+        if name == "autotune":
+            p.add_argument("--iters", type=int, default=3,
+                           help="timed updates per candidate (after warmup)")
         if name == "sweep":
             p.add_argument("--out", default=None,
                            help="results JSON path (default: "
@@ -91,6 +95,17 @@ def main(argv=None):
         best = results[0]
         print("best:", json.dumps(best))
         print(f"results: {out} (journal: {out}.jsonl)")
+    elif args.cmd == "autotune":
+        from drone_tpu.autotune import autotune
+
+        results = autotune(cfg, iters=args.iters)
+        if not results:
+            print("autotune: no candidate shape succeeded", file=sys.stderr)
+            return 1
+        best = results[0]
+        print(json.dumps(results))
+        print(f"best: {best['sps'] / 1e6:.2f}M SPS ({best['trainer']}) -> "
+              f"{best['overrides']}")
     elif args.cmd == "export":
         from pathlib import Path
 
