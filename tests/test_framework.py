@@ -469,3 +469,53 @@ def test_train_aborts_on_nan_loss(tmp_path, monkeypatch):
     monkeypatch.setattr(train_mod, "build", poisoned_build)
     with pytest.raises(RuntimeError, match="diverged"):
         train_mod.train(cfg)
+
+
+def test_racing_artifact_loop(tmp_path, demo_binary):
+    """The scripts/racing_artifact.sh pipeline at test scale: train racing
+    via the CLI -> export DRNW + params -> pure-C demo rolls a lap and
+    dumps trajectory.csv -> viz.viewer renders the GIF with the gate
+    circuit parsed from the params dump (the reference's demo-video
+    artifact, [R] README.md:9-11)."""
+    import os
+
+    envv = dict(os.environ)
+    envv["PYTHONPATH"] = str(REPO)
+    envv["JAX_PLATFORMS"] = "cpu"
+    run = lambda *a, **kw: subprocess.run(
+        [sys.executable, "-m", "drone_tpu.cli", *a],
+        capture_output=True, text=True, cwd=kw.get("cwd", REPO), env=envv,
+    )
+    common = [
+        "env.task=racing", "env.integrator=rk4",
+        "run.total_updates=2", "run.log_interval=1",
+        f"run.checkpoint_dir={tmp_path}", "run.run_name=racelap",
+        "train.num_envs=64", "train.horizon=8", "train.epochs=1",
+        "train.num_minibatches=1", "run.hidden=(16,)", "run.mesh=false",
+    ]
+    r = run("train", *common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "racing.drnw")
+    r = run("export", *common, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # C demo: 1 episode, task 2 (racing), seed 0, integrator 1 (rk4);
+    # writes trajectory.csv into cwd
+    r = subprocess.run(
+        [str(demo_binary), out, out + ".params", "1", "2", "0", "1"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    csv_path = tmp_path / "trajectory.csv"
+    assert csv_path.exists()
+
+    # keep the GIF quick: first 120 steps are enough to prove the render
+    lines = csv_path.read_text().splitlines()
+    (tmp_path / "short.csv").write_text("\n".join(lines[:121]) + "\n")
+
+    from viz.viewer import load_csv, load_gates, render_gif
+
+    gates = load_gates(out + ".params")
+    assert len(gates) == 4  # the default 4-gate circuit rode the export
+    gif = render_gif(load_csv(tmp_path / "short.csv"),
+                     str(tmp_path / "lap.gif"), gates=gates, stride=8)
+    assert Path(gif).stat().st_size > 1000
