@@ -38,12 +38,15 @@ def candidate_shapes(cfg, max_envs: int = 1 << 20):
 
     num_envs sweeps powers-of-two scalings of the current value (x1/4 ..
     x4); num_minibatches sweeps {2, 4, 8} plus the current. Shapes are
-    kept when they satisfy the megakernel eligibility alignment for the
-    active backend (1024 * num_minibatches lanes on TPU, 128-multiples on
-    CPU) OR equal the current config (so the baseline is always measured,
-    even if it only reaches the scan trainer)."""
+    kept when the PER-DEVICE shard (train.build divides num_envs across
+    the mesh before the kernels see it) satisfies the megakernel
+    eligibility alignment for the active backend (1024 * num_minibatches
+    lanes on TPU, 128-multiples on CPU) OR the shape equals the current
+    config (so the baseline is always measured, even if it only reaches
+    the scan trainer)."""
     backend = jax.default_backend()
     lane_mult = 128 if backend == "cpu" else 1024
+    n_dev = len(jax.devices())
     cur = (cfg.train.num_envs, cfg.train.num_minibatches)
     envs_c = sorted({max(cfg.train.num_envs >> s, lane_mult)
                      for s in (2, 1, 0)}
@@ -53,7 +56,9 @@ def candidate_shapes(cfg, max_envs: int = 1 << 20):
     out = []
     for n in envs_c:
         for mb in mbs_c:
-            aligned = n % (lane_mult * mb) == 0
+            use_mesh = cfg.run.mesh and n_dev > 1 and n % n_dev == 0
+            local = n // n_dev if use_mesh else n
+            aligned = local % (lane_mult * mb) == 0
             if aligned or (n, mb) == cur:
                 out.append((n, mb))
     return out

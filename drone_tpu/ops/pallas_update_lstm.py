@@ -130,16 +130,20 @@ def _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc, dtype):
     def fwd(c, h, t):
         return _lstm_step_fwd(obs_X(t), c, h, enc, wi, wh, bh, dtype)
 
-    # -- pass A: forward, keeping only chunk-boundary carries ---------------
+    # -- pass A: forward, keeping only chunk-boundary carries. The loop
+    # stops at the LAST boundary (t = bptt - sc): pass B re-forwards every
+    # chunk from `bounds`, so the final chunk's pass-A steps would be dead
+    # MXU work (at sc == bptt, pass A is empty — the anchor is the only
+    # boundary) -----------------------------------------------------------
     n_ck = bptt // sc
-    bounds = []
+    bounds = [(c0, h0)]
     c, h = c0, h0
-    for t in range(bptt):
-        if t % sc == 0:
-            bounds.append((c, h))
+    for t in range(bptt - sc):
         *_, c2, th, h2 = fwd(c, h, t)
         keep = keep_of(t)
         c, h = c2 * keep, h2 * keep
+        if (t + 1) % sc == 0:
+            bounds.append((c, h))
 
     # -- pass B: chunks in reverse; re-forward each, then backward ----------
     genc = _zero_grads([m for wb in enc for m in wb])

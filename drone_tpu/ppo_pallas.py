@@ -134,29 +134,29 @@ def _find_state(opt_state, kind):
     return None
 
 
-def optax_to_fused_opt_state(opt_state):
-    """optax chain(clip_by_global_norm, adam) state -> fused (count, mu, nu)
-    in kernel tensor layout. The moments map 1:1 (bitwise: transposes and
-    reshapes only)."""
+def adam_state_to_fused(opt_state, params_to_tensors):
+    """optax chain state -> fused (count, mu, nu), moments mapped through
+    `params_to_tensors` (a params-pytree -> kernel-tensor-list layout fn).
+    THE cross-trainer conversion core, shared by the MLP and recurrent
+    trainers — the moments map 1:1 (bitwise: transposes/reshapes only)."""
     adam = _find_state(opt_state, optax.ScaleByAdamState)
     if adam is None:
         raise ValueError(
             "cannot convert optimizer state: no ScaleByAdamState found "
             f"(structure: {jax.tree_util.tree_structure(opt_state)})")
-    mu_t, _, _ = _kernel_tensors(adam.mu)
-    nu_t, _, _ = _kernel_tensors(adam.nu)
-    return (jnp.asarray(adam.count, jnp.float32), mu_t, nu_t)
+    return (jnp.asarray(adam.count, jnp.float32),
+            params_to_tensors(adam.mu), params_to_tensors(adam.nu))
 
 
-def fused_to_optax_opt_state(optimizer, params, fused_state):
+def fused_to_adam_state(optimizer, params, fused_state, tensors_to_params):
     """Fused (count, mu, nu) -> the optax state `optimizer.init(params)`
     would carry after the same number of steps: adam count/moments filled
-    in (bitwise: layout only), schedule counts synced so lr annealing
-    resumes where it left off."""
+    in (bitwise: layout only via `tensors_to_params`), schedule counts
+    synced so lr annealing resumes where it left off. Shared by the MLP
+    and recurrent trainers (the inverse of adam_state_to_fused)."""
     count, mu_t, nu_t = fused_state
-    _, na, nc = _kernel_tensors(params)
-    mu = _tensors_to_params(params, list(mu_t), na, nc)
-    nu = _tensors_to_params(params, list(nu_t), na, nc)
+    mu = tensors_to_params(list(mu_t))
+    nu = tensors_to_params(list(nu_t))
     ci = jnp.asarray(count, jnp.int32)
 
     def repl(x):
@@ -170,6 +170,19 @@ def fused_to_optax_opt_state(optimizer, params, fused_state):
         x, (optax.ScaleByAdamState, optax.ScaleByScheduleState))
     return jax.tree_util.tree_map(repl, optimizer.init(params),
                                   is_leaf=is_leaf)
+
+
+def optax_to_fused_opt_state(opt_state):
+    """MLP trainer: optax state -> fused (count, mu, nu) in kernel layout."""
+    return adam_state_to_fused(opt_state, lambda p: _kernel_tensors(p)[0])
+
+
+def fused_to_optax_opt_state(optimizer, params, fused_state):
+    """MLP trainer: fused (count, mu, nu) -> the matching optax state."""
+    _, na, nc = _kernel_tensors(params)
+    return fused_to_adam_state(
+        optimizer, params, fused_state,
+        lambda t: _tensors_to_params(params, t, na, nc))
 
 
 def make_pallas_train_step(

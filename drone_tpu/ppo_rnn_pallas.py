@@ -112,39 +112,22 @@ def init_fused_opt_state(params):
 
 def optax_to_fused_opt_state(opt_state):
     """optax chain(clip_by_global_norm, adam) state -> recurrent fused
-    (count, mu, nu). Bitwise: transposes/reshapes only (the same
-    cross-trainer portability contract as ppo_pallas's converters)."""
-    from drone_tpu.ppo_pallas import _find_state
-    st = _find_state(opt_state, optax.ScaleByAdamState)
-    if st is None:
-        raise ValueError(
-            "cannot convert optimizer state: no ScaleByAdamState found "
-            f"(structure: {jax.tree_util.tree_structure(opt_state)})")
-    mu_t, _ = lstm_kernel_tensors(st.mu)
-    nu_t, _ = lstm_kernel_tensors(st.nu)
-    return (jnp.asarray(st.count, jnp.float32), mu_t, nu_t)
+    (count, mu, nu) — ppo_pallas's shared conversion core over the LSTM
+    kernel-tensor layout."""
+    from drone_tpu.ppo_pallas import adam_state_to_fused
+
+    return adam_state_to_fused(opt_state, lambda p: lstm_kernel_tensors(p)[0])
 
 
 def fused_to_optax_opt_state(optimizer, params, fused_state):
     """Recurrent fused (count, mu, nu) -> the optax state
     `optimizer.init(params)` would carry after the same number of steps."""
-    count, mu_t, nu_t = fused_state
+    from drone_tpu.ppo_pallas import fused_to_adam_state
+
     _, n_enc = lstm_kernel_tensors(params)
-    mu = lstm_tensors_to_params(params, list(mu_t), n_enc)
-    nu = lstm_tensors_to_params(params, list(nu_t), n_enc)
-    ci = jnp.asarray(count, jnp.int32)
-
-    def repl(x):
-        if isinstance(x, optax.ScaleByAdamState):
-            return x._replace(count=ci, mu=mu, nu=nu)
-        if isinstance(x, optax.ScaleByScheduleState):
-            return x._replace(count=ci)
-        return x
-
-    is_leaf = lambda x: isinstance(
-        x, (optax.ScaleByAdamState, optax.ScaleByScheduleState))
-    return jax.tree_util.tree_map(repl, optimizer.init(params),
-                                  is_leaf=is_leaf)
+    return fused_to_adam_state(
+        optimizer, params, fused_state,
+        lambda t: lstm_tensors_to_params(params, t, n_enc))
 
 
 def _lstm_value(obs, carry, params, dtype=jnp.float32):

@@ -52,7 +52,7 @@ import json
 import math
 import random
 import time
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, as_completed
 from pathlib import Path
 
 import numpy as np
@@ -353,24 +353,29 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
         return float("-inf") if math.isnan(s) else s
 
     def run_batch(cfgs):
-        """Yield (final_metrics, seconds) per trial IN ORDER as results
-        land: the caller journals each completed trial before the next is
-        awaited, and a worker that dies outright (OOM-kill and the like)
-        yields (None, nan) instead of discarding its finished
-        batch-mates — the journal's 'a crash costs one trial' durability
-        claim holds under workers > 1 too."""
+        """Yield (pos, final_metrics, seconds) in COMPLETION order: the
+        caller journals every finished trial before any slower batch-mate
+        resolves, so a sweep-process death mid-batch loses only the trials
+        still in flight (yielding in submission order would hold completed
+        results hostage behind a slow futs[0]); a worker that dies outright
+        (OOM-kill and the like) yields (pos, None, nan) instead of
+        discarding its batch-mates. The resume replay tolerates the
+        resulting journal gaps: missing indices simply re-train."""
         if workers > 1 and len(cfgs) > 1:
             with ProcessPoolExecutor(max_workers=workers) as ex:
-                futs = [ex.submit(_timed_call, train_fn, c) for c in cfgs]
-                for f in futs:
+                futs = {ex.submit(_timed_call, train_fn, c): k
+                        for k, c in enumerate(cfgs)}
+                for f in as_completed(futs):
                     try:
-                        yield f.result()
+                        final, secs = f.result()
                     except Exception as e:  # noqa: BLE001 — process death
                         print(f"[sweep] trial worker died: {e!r}")
-                        yield None, float("nan")
+                        final, secs = None, float("nan")
+                    yield futs[f], final, secs
         else:
-            for c in cfgs:
-                yield _timed_call(train_fn, c)
+            for k, c in enumerate(cfgs):
+                final, secs = _timed_call(train_fn, c)
+                yield k, final, secs
 
     def record(rung, idx, point, score, seconds):
         if sug:
@@ -405,11 +410,10 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
         cfgs = [_trial_cfg(cfg, p, rungs[0],
                            f"{cfg.run.run_name}-sweep-r0-t{i + j}")
                 for j, p in enumerate(batch)]
-        for j, (point, (final, secs)) in enumerate(zip(batch,
-                                                       run_batch(cfgs))):
+        for k, final, secs in run_batch(cfgs):
             s = score_of(final)
-            record(0, i + j, point, s, secs)
-            population.append({"point": point, "scores": [s],
+            record(0, i + k, batch[k], s, secs)
+            population.append({"point": batch[k], "scores": [s],
                                "cost": int(rungs[0])})
         i += len(batch)
 
@@ -432,7 +436,8 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
         cfgs = [_trial_cfg(cfg, t["point"], updates,
                            f"{cfg.run.run_name}-sweep-r{rung_idx}-t{j}")
                 for j, t in todo]
-        for (j, t), (final, secs) in zip(todo, run_batch(cfgs)):
+        for k, final, secs in run_batch(cfgs):
+            j, t = todo[k]
             s = score_of(final)
             t["scores"].append(s)
             t["cost"] += int(updates)

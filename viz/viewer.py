@@ -183,8 +183,16 @@ def main(argv=None):
     gates = None
     if "--params" in argv:
         i = argv.index("--params")
+        if i + 1 >= len(argv):
+            print("error: --params needs a path (policy.drnw.params)",
+                  file=sys.stderr)
+            print(__doc__)
+            return 2
         gates = load_gates(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    if not argv:
+        print(__doc__)
+        return 2
     src = argv[0]
     out = argv[1] if len(argv) > 1 else "trajectory.png"
     rows = load_csv(src)
