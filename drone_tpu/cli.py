@@ -40,6 +40,7 @@ def main(argv=None):
         ("sweep", "hyperparameter sweep ([sweep] section)"),
         ("export", "export actor weights for the C runtime (DRNW)"),
         ("autotune", "measure train-SPS over batch shapes, report the best"),
+        ("watch", "roll out the latest checkpoint and render a PNG/GIF"),
     ):
         p = sub.add_parser(name, help=helptext)
         p.add_argument("config", nargs="?", default=None,
@@ -51,6 +52,11 @@ def main(argv=None):
         if name == "autotune":
             p.add_argument("--iters", type=int, default=3,
                            help="timed updates per candidate (after warmup)")
+        if name == "watch":
+            p.add_argument("--out", default="flight.gif",
+                           help=".gif (animated) or .png (static)")
+            p.add_argument("--steps", type=int, default=0,
+                           help="rollout length (default: env horizon)")
         if name == "sweep":
             p.add_argument("--out", default=None,
                            help="results JSON path (default: "
@@ -106,6 +112,69 @@ def main(argv=None):
         print(json.dumps(results))
         print(f"best: {best['sps'] / 1e6:.2f}M SPS ({best['trainer']}) -> "
               f"{best['overrides']}")
+    elif args.cmd == "watch":
+        # render an episode of the latest checkpoint — the reference's
+        # `puffer eval --render human` workflow (SURVEY.md §3.3), with the
+        # raylib window replaced by a PNG/GIF artifact (viz/viewer.py).
+        # Pure Python path: checkpoint -> policy rollout -> CSV -> render
+        # (the C-demo route to the same artifact is scripts/
+        # racing_artifact.sh).
+        from pathlib import Path
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import drone_tpu
+        from drone_tpu.utils.checkpoint import Checkpointer
+        from viz.viewer import dump_rollout, load_csv, render, render_gif
+
+        statics, env_params = cfg.env.build()
+        env = drone_tpu.DroneEnv(task=statics.task,
+                                 integrator=statics.integrator,
+                                 params=env_params)
+        ckpt = Checkpointer(
+            Path(cfg.run.checkpoint_dir) / cfg.run.run_name / "checkpoints")
+        raw, _ = ckpt.restore_raw()
+        params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+        if cfg.run.policy == "lstm":
+            from drone_tpu.models import LSTMActorCritic
+
+            model = LSTMActorCritic(hidden=cfg.run.lstm_hidden,
+                                    encoder=tuple(cfg.run.hidden)[:1])
+            fwd = jax.jit(model.apply)
+            carry_box = [model.initial_carry((1,))]
+
+            def policy_fn(obs):
+                mean, _, _, c2 = fwd(params, jnp.asarray(obs)[None],
+                                     carry_box[0])
+                carry_box[0] = c2
+                return np.asarray(mean[0])
+        else:
+            if cfg.run.policy == "cnn":
+                from drone_tpu.models import PixelActorCritic
+
+                model = PixelActorCritic()
+            else:
+                from drone_tpu.models import ActorCritic
+
+                model = ActorCritic(hidden=tuple(cfg.run.hidden))
+            fwd = jax.jit(lambda p, o: model.apply(p, o[None])[0][0])
+            policy_fn = lambda obs: np.asarray(fwd(params, jnp.asarray(obs)))
+        steps = args.steps or int(env.params.horizon)
+        csv_path = str(Path(args.out).with_suffix(".csv"))
+        dump_rollout(env, env.params, policy_fn, steps, csv_path,
+                     seed=cfg.run.seed)
+        gates = None
+        if statics.task == "racing":
+            g = np.asarray(env.params.gates)
+            gates = [tuple(map(float, row))
+                     for row in g[: int(env.params.n_gates)]]
+        rows = load_csv(csv_path)
+        out = (render_gif(rows, args.out, gates=gates)
+               if args.out.endswith(".gif")
+               else render(rows, args.out, gates=gates))
+        print(f"wrote {out} (trajectory: {csv_path})")
     elif args.cmd == "export":
         from pathlib import Path
 

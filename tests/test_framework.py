@@ -519,3 +519,32 @@ def test_racing_artifact_loop(tmp_path, demo_binary):
     gif = render_gif(load_csv(tmp_path / "short.csv"),
                      str(tmp_path / "lap.gif"), gates=gates, stride=8)
     assert Path(gif).stat().st_size > 1000
+
+
+def test_cli_watch_renders_artifact(tmp_path):
+    """`cli watch`: checkpoint -> python rollout -> rendered PNG + CSV (the
+    reference's eval-with-render workflow, SURVEY.md §3.3, raylib window
+    replaced by the file artifact)."""
+    import os
+
+    envv = dict(os.environ)
+    envv["PYTHONPATH"] = str(REPO)
+    envv["JAX_PLATFORMS"] = "cpu"
+    run = lambda *a: subprocess.run(
+        [sys.executable, "-m", "drone_tpu.cli", *a],
+        capture_output=True, text=True, cwd=REPO, env=envv,
+    )
+    common = [
+        "env.task=racing",  # exercises the gate-circuit overlay path too
+        "run.total_updates=1", "run.log_interval=1",
+        f"run.checkpoint_dir={tmp_path}", "run.run_name=watchme",
+        "train.num_envs=64", "train.horizon=8", "train.epochs=1",
+        "train.num_minibatches=1", "run.hidden=(16,)", "run.mesh=false",
+    ]
+    r = run("train", *common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "flight.png")
+    r = run("watch", *common, "--out", out, "--steps", "40")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert Path(out).stat().st_size > 1000
+    assert (tmp_path / "flight.csv").exists()
