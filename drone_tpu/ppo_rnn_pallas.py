@@ -1,7 +1,7 @@
 """Recurrent megakernel PPO: LSTM rollout AND truncated-BPTT update on Pallas.
 
-The recurrent analogue of drone_tpu.ppo_pallas — the third policy family
-at kernel speed. The scan-path recurrent trainer (drone_tpu.ppo_rnn) is
+The recurrent analogue of drone_tpu.ppo_pallas — the second policy family
+trained fully in kernels. The scan-path recurrent trainer (drone_tpu.ppo_rnn) is
 the baseline; ppo_rnn's rollout="pallas" fuses data collection only; this
 module fuses the whole step:
 
