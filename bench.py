@@ -182,6 +182,29 @@ def bench_train_pallas(env, N=65536, T=128, iters=6):
     return N * T * iters / (time.perf_counter() - t0)
 
 
+def bench_train_scan(env, N=65536, T=128, iters=4):
+    """XLA scan PPO train step (the non-kernel trainer) at the same shape as
+    bench_train_pallas — the denominator of the README's megakernel-vs-scan
+    ratio, emitted as a JSON field so the claim is machine-checkable."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu.models import ActorCritic
+
+    model = ActorCritic()
+    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                            num_minibatches=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    step = jax.jit(ppo_mod.make_train_step(
+        model.apply, opt, env.params, env.statics, cfg))
+    runner, m = step(runner)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        runner, m = step(runner)
+    float(m["loss"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
 def bench_train_rnn_pallas(env, N=65536, T=128, bptt=16, iters=4):
     """Fully-fused RECURRENT PPO train step (ppo_rnn_pallas: LSTM rollout
     kernel + GAE + truncated-BPTT update kernel + fused adam) — the
@@ -237,6 +260,7 @@ def main(cfg=None):
             ("traj_rollout_sps", lambda: bench_traj_rollout(env)),
             ("lstm_acting_sps", lambda: bench_lstm_acting(env)),
             ("train_sps_64k", lambda: bench_train_pallas(env, N=65536)),
+            ("scan_train_sps_64k", lambda: bench_train_scan(env, N=65536)),
             ("train_sps_262k", lambda: bench_train_pallas(env, N=262144)),
             ("lstm_train_sps_64k",
              lambda: bench_train_rnn_pallas(env, N=65536)),

@@ -53,13 +53,17 @@ def candidate_shapes(cfg, max_envs: int = 1 << 20):
                     | {min(cfg.train.num_envs << s, max_envs)
                        for s in (1, 2)})
     mbs_c = sorted({2, 4, 8, cfg.train.num_minibatches})
-    out = []
+    # The baseline goes in unconditionally: the scaled envs_c set clamps to
+    # lane_mult, so a small current num_envs (< lane_mult) never reappears
+    # in the loop and an `(n, mb) == cur` escape there would be unreachable.
+    out = [cur]
     for n in envs_c:
         for mb in mbs_c:
+            if (n, mb) == cur:
+                continue
             use_mesh = cfg.run.mesh and n_dev > 1 and n % n_dev == 0
             local = n // n_dev if use_mesh else n
-            aligned = local % (lane_mult * mb) == 0
-            if aligned or (n, mb) == cur:
+            if local % (lane_mult * mb) == 0:
                 out.append((n, mb))
     return out
 

@@ -145,7 +145,9 @@ def main(argv=None):
             fwd = jax.jit(model.apply)
             carry_box = [model.initial_carry((1,))]
 
-            def policy_fn(obs):
+            def policy_fn(obs, done):
+                if done:  # episode boundary: zero the carry, as in training
+                    carry_box[0] = model.initial_carry((1,))
                 mean, _, _, c2 = fwd(params, jnp.asarray(obs)[None],
                                      carry_box[0])
                 carry_box[0] = c2
@@ -160,7 +162,8 @@ def main(argv=None):
 
                 model = ActorCritic(hidden=tuple(cfg.run.hidden))
             fwd = jax.jit(lambda p, o: model.apply(p, o[None])[0][0])
-            policy_fn = lambda obs: np.asarray(fwd(params, jnp.asarray(obs)))
+            policy_fn = lambda obs, done: np.asarray(
+                fwd(params, jnp.asarray(obs)))
         steps = args.steps or int(env.params.horizon)
         csv_path = str(Path(args.out).with_suffix(".csv"))
         dump_rollout(env, env.params, policy_fn, steps, csv_path,

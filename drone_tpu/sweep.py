@@ -289,6 +289,15 @@ def _read_journal(path: Path) -> dict:
     return done
 
 
+def _rank_key(t):
+    """Halving-promotion order: best last score first, score ties broken by
+    the canonical point (NOT by population insertion order, which differs
+    between an original parallel run — completion order — and a journal
+    replay — index order; positional (rung, j) journal keys need the sort
+    to be a pure function of the (point, score) set)."""
+    return (-t["scores"][-1], json.dumps(t["point"], sort_keys=True))
+
+
 def run_sweep(cfg: Config, out_path: str | Path | None = None,
               train_fn=None, workers: int | None = None,
               resume: bool = False,
@@ -419,13 +428,18 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
 
     # -- later rungs: successive halving of the survivors --------------------
     for rung_idx, updates in enumerate(rungs[1:], start=1):
-        population.sort(key=lambda t: -t["scores"][-1])
+        population.sort(key=_rank_key)
         survivors = population[: max(1, int(len(population) * keep))]
+
+        def _replay(j, t, rung_idx=rung_idx):
+            rec = done.get((rung_idx, j))
+            return rec if rec and rec["point"] == t["point"] else None
+
         todo = [(j, t) for j, t in enumerate(survivors)
-                if (rung_idx, j) not in done]
+                if _replay(j, t) is None]
         for j, t in enumerate(survivors):
-            if (rung_idx, j) in done:
-                rec = done[(rung_idx, j)]
+            rec = _replay(j, t)
+            if rec is not None:
                 s = (rec["score"] if rec["score"] is not None
                      else float("-inf"))
                 t["scores"].append(s)

@@ -80,8 +80,7 @@ def build(cfg: Config):
         # megakernel PPO trainer: rollout + update + adam kernels. Compiled
         # runs need 8-row (1024-lane) minibatch tiles on top of the
         # 1024-aligned lane blocks, hence lane_mult * num_minibatches.
-        eligible = (local_envs % (lane_mult * cfg.train.num_minibatches) == 0
-                    and local_envs % lane_mult == 0)
+        eligible = local_envs % (lane_mult * cfg.train.num_minibatches) == 0
     elif recurrent:
         from drone_tpu.ops import pallas_update_lstm as _PUL
 

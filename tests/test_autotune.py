@@ -38,6 +38,12 @@ def test_candidate_shapes_keeps_misaligned_baseline():
     cfg = _cfg(num_envs=384, mb=3)  # misaligned on any backend's kernel rule
     cands = candidate_shapes(cfg)
     assert (384, 3) in cands
+    # num_envs below the lane multiple: the powers-of-two scaling set clamps
+    # it out entirely, so only the unconditional baseline entry covers it
+    cfg = _cfg(num_envs=96, mb=2)
+    cands = candidate_shapes(cfg)
+    assert (96, 2) in cands
+    assert cands.count((96, 2)) == 1
 
 
 def test_autotune_ranks_with_stub_measure():

@@ -548,3 +548,80 @@ def test_cli_watch_renders_artifact(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert Path(out).stat().st_size > 1000
     assert (tmp_path / "flight.csv").exists()
+
+
+def test_dump_rollout_signals_episode_boundaries(tmp_path):
+    """dump_rollout feeds policy_fn the previous step's done flag so
+    recurrent policies can zero their carry at auto-reset boundaries (the
+    `cli watch` LSTM path relies on this — without it the rendered rollout
+    would carry hidden state across episodes, unlike every training and
+    eval path)."""
+    from drone_tpu.types import default_params
+    from viz.viewer import dump_rollout, load_csv
+
+    params = default_params("hover", horizon=jnp.float32(5))
+    env = drone_tpu.DroneEnv(task="hover", params=params)
+    dones_seen = []
+
+    def policy(obs, done):
+        dones_seen.append(int(done))
+        return np.zeros(4, np.float32)  # motors off: fall/crash/truncate
+
+    csv_path = tmp_path / "traj.csv"
+    dump_rollout(env, params, policy, 12, str(csv_path), seed=0)
+    rows = load_csv(csv_path)
+    done_col = [int(r["done"]) for r in rows]
+    assert sum(done_col) >= 1  # the 5-step horizon fired inside 12 steps
+    # policy_fn sees done exactly one step after the env reported it
+    assert dones_seen[0] == 0
+    assert dones_seen[1:] == done_col[:-1]
+
+
+def test_load_gates_rejects_unknown_params_version(tmp_path):
+    """The versioned .params header is actually enforced: a version bump
+    with an unchanged struct size must not be silently reinterpreted
+    (native/demo.c applies the same gate)."""
+    import ctypes as ct
+    import struct
+
+    from oracle.oracle import CParams
+    from viz.viewer import load_gates
+
+    blob = struct.pack("<III", 0x44524E50, 2, ct.sizeof(CParams))
+    blob += bytes(ct.sizeof(CParams))
+    p = tmp_path / "future.params"
+    p.write_bytes(blob)
+    with pytest.raises(ValueError, match="version"):
+        load_gates(str(p))
+
+
+def test_cli_watch_lstm_resets_carry(tmp_path):
+    """`cli watch` with the recurrent policy: renders through the carry
+    branch (including the episode-boundary zeroing) without error."""
+    import os
+
+    envv = dict(os.environ)
+    envv["PYTHONPATH"] = str(REPO)
+    envv["JAX_PLATFORMS"] = "cpu"
+    run = lambda *a: subprocess.run(
+        [sys.executable, "-m", "drone_tpu.cli", *a],
+        capture_output=True, text=True, cwd=REPO, env=envv,
+    )
+    common = [
+        "run.policy=lstm", "run.lstm_hidden=16", "run.hidden=(16,)",
+        "run.total_updates=1", "run.log_interval=1",
+        f"run.checkpoint_dir={tmp_path}", "run.run_name=watchrnn",
+        "train.num_envs=64", "train.horizon=8", "train.epochs=1",
+        "train.num_minibatches=1", "run.mesh=false",
+        "env.params.horizon=6",  # several auto-resets inside --steps 20
+    ]
+    r = run("train", *common)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "rnn.png")
+    r = run("watch", *common, "--out", out, "--steps", "20")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert Path(out).stat().st_size > 1000
+    # the short horizon really did terminate episodes mid-watch
+    from viz.viewer import load_csv
+    assert sum(int(row["done"]) for row in
+               load_csv(tmp_path / "rnn.csv")) >= 2

@@ -222,6 +222,44 @@ def test_sweep_journal_and_resume(tmp_path):
     assert [r["point"] for r in results2] == [r["point"] for r in results]
 
 
+def test_resume_never_attaches_mismatched_journal_records(tmp_path):
+    """Survivor identity across resume is positional, and a parallel
+    original run inserts tied trials into the population in COMPLETION
+    order while replay inserts in index order — so a journaled later-rung
+    record is only attached when its point matches the survivor at that
+    position; a mismatch (simulated here by swapping the two rung-1
+    records' points) re-trains instead of crediting the wrong trial."""
+    import json as _json
+
+    cfg = Config.default()
+    cfg.run.checkpoint_dir = str(tmp_path)
+    cfg.sweep = {"metric": "score", "trials": 4, "rungs": [1, 2],
+                 "keep": 0.5, "space": SPACE, "suggester": "random"}
+    out = tmp_path / "results.json"
+    results = run_sweep(cfg, out_path=out, train_fn=_fake_train)
+    journal = tmp_path / "results.json.jsonl"
+    recs = [_json.loads(l) for l in journal.read_text().splitlines()]
+    r1 = [r for r in recs if r["rung"] == 1]
+    assert len(r1) == 2
+    r1[0]["point"], r1[1]["point"] = r1[1]["point"], r1[0]["point"]
+    journal.write_text("\n".join(_json.dumps(r) for r in recs) + "\n")
+
+    calls = []
+
+    def counting(c):
+        calls.append(c.run.run_name)
+        return _fake_train(c)
+
+    res2 = run_sweep(cfg, out_path=out, train_fn=counting, resume=True)
+    # both tampered rung-1 records mismatch their survivors -> re-trained
+    assert len(calls) == 2
+    assert all("-r1-" in name for name in calls)
+    # and the results match the untampered run (deterministic objective)
+    key = lambda rs: sorted((_json.dumps(r["point"], sort_keys=True),
+                             tuple(r["scores"])) for r in rs)
+    assert key(res2) == key(results)
+
+
 def test_final_ranking_is_fidelity_aware(tmp_path):
     """A noisy rung-0 score can't outrank a survivor's top-rung score: the
     ranking orders by rungs completed first."""

@@ -42,6 +42,9 @@ def load_gates(params_path):
     if magic != 0x44524E50 or size != ct.sizeof(CParams):
         raise ValueError(f"{params_path}: not a DRNP params dump "
                          f"(magic={magic:#x}, size={size})")
+    if version != 1:  # same gate as native/demo.c: size alone can't catch
+        raise ValueError(f"{params_path}: unsupported params version "
+                         f"{version} (this reader knows 1)")
     c = CParams.from_buffer_copy(raw, 12)
     return [(c.gates[3 * g], c.gates[3 * g + 1], c.gates[3 * g + 2])
             for g in range(int(c.n_gates))]
@@ -153,17 +156,23 @@ def render_gif(rows, out_path="trajectory.gif", title="drone flight",
 
 
 def dump_rollout(env, params_pytree, policy_fn, steps, out_csv, seed=0):
-    """Python-side trajectory dumper (same CSV schema as native/demo.c)."""
+    """Python-side trajectory dumper (same CSV schema as native/demo.c).
+
+    policy_fn(obs, done) -> action; `done` is 1 when the PREVIOUS step
+    terminated (the env auto-resets), so recurrent policies can zero their
+    carry at episode boundaries exactly like the training/eval paths
+    (ppo_rnn's carry keep-masking)."""
     import jax
     import numpy as np
 
     state = env.init(seed, 0, params=params_pytree)
     obs = env.observe(state)
     step_j = jax.jit(lambda s, a: env.step(s, a, params_pytree))
+    done = 0
     with open(out_csv, "w") as f:
         f.write("t,x,y,z,tx,ty,tz,reward,done\n")
         for t in range(steps):
-            a = policy_fn(np.asarray(obs))
+            a = policy_fn(np.asarray(obs), done)
             state, out = step_j(state, a)
             obs = out.obs
             p = np.asarray(state.pos)
