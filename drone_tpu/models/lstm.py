@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 
 class LSTMActorCritic(nn.Module):
-    """obs, (h, c) -> (mean, log_std, value, (h', c'))."""
+    """obs, carry -> (mean, log_std, value, carry').
+
+    `carry` is the flax LSTMCell tuple, ordered (c, h) — cell state FIRST
+    (the Pallas kernels and BPTT anchors depend on this ordering; see
+    ops/pallas_acting_lstm.py)."""
 
     act_dim: int = 4
     hidden: int = 128

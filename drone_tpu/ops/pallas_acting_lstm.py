@@ -289,6 +289,17 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
     L = shape[0] * 128
     acc0 = tuple(stats_ref[k] for k in range(PR.N_STATS))
 
+    # BPTT anchor: the carry ENTERING the first step of each segment. tc
+    # divides bptt, so segment starts land exactly on chunk starts — one
+    # conditional write per chunk (AFTER _init seeds oh/oc at t == 0), not
+    # a per-step where-select. The snap block revisits across the segment's
+    # later chunks; Pallas preserves revisited output blocks that are not
+    # written, flushing to HBM when the block index advances.
+    @pl.when((t * tc) % bptt == 0)
+    def _snap():
+        snap_ref[0, 0] = oc_ref[:]
+        snap_ref[0, 1] = oh_ref[:]
+
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -297,13 +308,6 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
 
     def body(s, carry):
         c, h, cc, acc = carry
-        # BPTT anchor: the carry ENTERING the first step of each segment.
-        # The snapshot block revisits for every chunk of a segment, so a
-        # where-select keeps the segment-start value until the block index
-        # advances and Mosaic flushes it to HBM.
-        is_start = ((t * tc + s) % bptt) == 0
-        snap_ref[0, 0] = jnp.where(is_start, cc, snap_ref[0, 0])
-        snap_ref[0, 1] = jnp.where(is_start, h, snap_ref[0, 1])
         X = PR.obs_matrix(c, L)
         x = lstm_encoder(X, enc_c, dot)[-1]
         *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
@@ -571,10 +575,18 @@ def lstm_act_rollout_pallas(state: EnvState, policy_params, carry,
     n = state.pos.shape[0]
     weights = lstm_weights(policy_params)
     hidden = weights[1][0].shape[0]
-    cap = max(128, (131072 // max(hidden, 1)) // 128 * 128)
+    # floored at 1024 like traj_lstm_rollout_pallas: compiled runs need a
+    # 1024-aligned lane block regardless of the hidden*lanes VMEM heuristic
+    cap = max(1024, (131072 // max(hidden, 1)) // 128 * 128)
     if lanes_per_block is not None:
         cap = min(cap, lanes_per_block)
     lanes_per_block = PR.pick_lanes_per_block(n, min(8192, cap))
+    if not interpret and lanes_per_block % 1024:
+        raise ValueError(
+            f"compiled policy kernels need 1024-aligned lane blocks "
+            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
+            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
+            f"interpret=True for small CPU runs.")
     final, out_carry, stats = _run(
         state, tuple(carry), weights, env_params, T=T,
         lanes_per_block=lanes_per_block, task=statics.task,

@@ -185,6 +185,142 @@ def fused_to_optax_opt_state(optimizer, params, fused_state):
         lambda t: _tensors_to_params(params, t, na, nc))
 
 
+# ---------------------------------------------------------------------------
+# Shared megakernel-trainer scaffolding. The MLP (this module) and recurrent
+# (ppo_rnn_pallas) trainers differ ONLY in their rollout and update kernels;
+# the geometry planning, GAE/advantage normalization, loss bookkeeping,
+# epoch/minibatch scan structure, and metrics reduction are one copy here —
+# edit these, never fork per-trainer variants (same discipline as the
+# kernel/mirror shared math functions).
+# ---------------------------------------------------------------------------
+
+def plan_minibatch_geometry(cfg, local_envs, mode, interpret):
+    """Lane-row / row-block tiling shared by both megakernel trainers.
+
+    Returns (rows, mb_rows, rbu, n_rb, mb_rb, co). Raises the compiled-mode
+    alignment error when the minibatch tile cannot meet Mosaic's 8-row rule.
+    """
+    assert local_envs % 128 == 0, (
+        f"the megakernel trainer needs num_envs % 128 == 0, got {local_envs}")
+    rows = local_envs // 128
+    assert rows % cfg.num_minibatches == 0, (
+        f"lane rows ({rows} = {local_envs}/128) must divide into "
+        f"{cfg.num_minibatches} minibatches")
+    mb_rows = rows // cfg.num_minibatches
+    m_samples = mb_rows * 128 * cfg.horizon
+    co = PU.UpdateConsts(clip_eps=cfg.clip_eps, vf_clip=cfg.vf_clip,
+                         vf_coef=cfg.vf_coef, inv_m=1.0 / m_samples)
+    rbu = PU.pick_row_block(mb_rows)
+    if mode == "kernel" and not interpret and rbu % 8:
+        # Mosaic rejects the in-kernel (S,) -> (tc, rbu, 128) reshape
+        # unless rbu % 8 == 0 (measured on v5e: rbu=4 fails
+        # `infer-vector-layout: unsupported shape cast`, rbu=8 compiles)
+        raise ValueError(
+            f"compiled update kernels need 8-row (1024-lane) minibatch "
+            f"tiles: num_envs/device ({local_envs}) gives {mb_rows} rows "
+            f"per minibatch ({cfg.num_minibatches} minibatches), not a "
+            f"multiple of 8. Use num_envs divisible by "
+            f"{1024 * cfg.num_minibatches}, or interpret=True on CPU.")
+    return rows, mb_rows, rbu, rows // rbu, mb_rows // rbu, co
+
+
+def make_fused_lr(cfg):
+    """lr schedule for the fused-adam kernel; matches ppo.make_optimizer's
+    linear anneal over total optimizer steps."""
+    total_opt_steps = cfg.total_updates * cfg.epochs * cfg.num_minibatches
+
+    def _fused_lr(count):
+        if not cfg.anneal_lr:
+            return jnp.float32(cfg.lr)
+        frac = jnp.minimum(count / jnp.float32(total_opt_steps), 1.0)
+        return jnp.float32(cfg.lr) * (1.0 - frac)
+
+    return _fused_lr
+
+
+def normalized_advret(planes, last_value, cfg, axis_name):
+    """GAE on the time-major planes + (cross-device) advantage
+    normalization -> stacked (2, T, rows, 128) [adv, ret]."""
+    adv, ret = ppo_mod.compute_gae(
+        planes[:, TP_REW], planes[:, TP_VAL], planes[:, TP_DONE],
+        last_value, cfg.gamma, cfg.gae_lambda)
+    if axis_name is not None:
+        g_mean = jax.lax.pmean(jnp.mean(adv), axis_name)
+        g_var = jax.lax.pmean(jnp.mean((adv - g_mean) ** 2), axis_name)
+    else:
+        g_mean = jnp.mean(adv)
+        g_var = jnp.var(adv)
+    adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
+    return jnp.stack([adv, ret])
+
+
+def make_losses(cfg, co):
+    """Loss/aux bookkeeping from the update kernel's stats vector."""
+
+    def _losses(st, ent):
+        pg_loss = st[PU.ST_PG] * co.inv_m
+        v_loss = 0.5 * st[PU.ST_VL] * co.inv_m
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        aux = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
+                   approx_kl=st[PU.ST_KL] * co.inv_m,
+                   clipfrac=st[PU.ST_CF] * co.inv_m)
+        return loss, aux
+
+    return _losses
+
+
+def run_epoch_scans(step_fn, carry0, kperm, cfg, n_rb, mb_rb):
+    """epochs x minibatches: row-block permutation per epoch, step_fn per
+    minibatch slice. Returns (final carry, (losses, auxes))."""
+
+    def epoch_body(carry, ekey):
+        perm = jax.random.permutation(ekey, n_rb)
+
+        def mb_body(carry, mb_idx):
+            perm_mb = jax.lax.dynamic_slice(
+                perm, (mb_idx * mb_rb,), (mb_rb,))
+            return step_fn(carry, perm_mb)
+
+        return jax.lax.scan(mb_body, carry,
+                            jnp.arange(cfg.num_minibatches))
+
+    epoch_keys = jax.random.split(kperm, cfg.epochs)
+    return jax.lax.scan(epoch_body, carry0, epoch_keys)
+
+
+def trainer_metrics(stats, losses, auxes, cfg, local_envs, axis_name):
+    """Metrics reduction shared by both megakernel trainers (keys match the
+    scan trainers')."""
+    n_done = stats["episodes"]
+    ep_ret_sum = stats["ep_return_sum"]
+    ep_len_sum = stats["ep_length_sum"]
+    reward_sum = stats["reward_sum"]
+    if axis_name is not None:
+        n_done = jax.lax.psum(n_done, axis_name)
+        ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
+        ep_len_sum = jax.lax.psum(ep_len_sum, axis_name)
+        reward_sum = jax.lax.psum(reward_sum, axis_name)
+        denom = jnp.float32(cfg.horizon * local_envs) * jax.lax.psum(
+            jnp.float32(1.0), axis_name)
+    else:
+        denom = jnp.float32(cfg.horizon * local_envs)
+    metrics = dict(
+        loss=jnp.mean(losses),
+        reward_mean=reward_sum / denom,
+        episodes=n_done,
+        ep_return_mean=ep_ret_sum / jnp.maximum(n_done, 1.0),
+        ep_length_mean=ep_len_sum / jnp.maximum(n_done, 1.0),
+        **{k: jnp.mean(v) for k, v in auxes.items()},
+    )
+    if axis_name is not None:
+        # loss/aux are per-device means over DIFFERENT data shards; average
+        # them across the axis like the scan trainer does
+        for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl",
+                  "clipfrac"):
+            metrics[k] = jax.lax.pmean(metrics[k], axis_name)
+    return metrics
+
+
 def make_pallas_train_step(
     optimizer: optax.GradientTransformation,
     env_params: EnvParams,
@@ -212,33 +348,12 @@ def make_pallas_train_step(
     if mode not in ("kernel", "reference"):
         raise ValueError(f"mode must be 'kernel' or 'reference', got {mode!r}")
     local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
-    assert local_envs % 128 == 0, (
-        f"the megakernel trainer needs num_envs % 128 == 0, got {local_envs}")
-    rows = local_envs // 128
-    assert rows % cfg.num_minibatches == 0, (
-        f"lane rows ({rows} = {local_envs}/128) must divide into "
-        f"{cfg.num_minibatches} minibatches")
-    mb_rows = rows // cfg.num_minibatches
-    m_samples = mb_rows * 128 * cfg.horizon
-    co = PU.UpdateConsts(clip_eps=cfg.clip_eps, vf_clip=cfg.vf_clip,
-                         vf_coef=cfg.vf_coef, inv_m=1.0 / m_samples)
     # update tiles: rbu rows x tc steps, shuffled at row-block granularity
     # (the update kernel gathers (tc, N_TRAJ, rbu, 128) tiles straight from
     # the rollout kernel's natural layout; cap keeps tc*rbu*128 at the
     # ~2048-sample compute tile)
-    rbu = PU.pick_row_block(mb_rows)
-    if mode == "kernel" and not interpret and rbu % 8:
-        # Mosaic rejects the in-kernel (S,) -> (tc, rbu, 128) reshape
-        # unless rbu % 8 == 0 (measured on v5e: rbu=4 fails
-        # `infer-vector-layout: unsupported shape cast`, rbu=8 compiles)
-        raise ValueError(
-            f"compiled update kernels need 8-row (1024-lane) minibatch "
-            f"tiles: num_envs/device ({local_envs}) gives {mb_rows} rows "
-            f"per minibatch ({cfg.num_minibatches} minibatches), not a "
-            f"multiple of 8. Use num_envs divisible by "
-            f"{1024 * cfg.num_minibatches}, or interpret=True on CPU.")
-    n_rb = rows // rbu
-    mb_rb = mb_rows // rbu
+    rows, mb_rows, rbu, n_rb, mb_rb, co = plan_minibatch_geometry(
+        cfg, local_envs, mode, interpret)
     tc = PU.pick_update_chunk(cfg.horizon, cap=max(1, update_tc // rbu))
     # fused optimizer: clip+adam as ONE kernel launch per SGD step, weights
     # carried in kernel layout across the whole update phase (the optax path
@@ -246,13 +361,7 @@ def make_pallas_train_step(
     # ppo.make_optimizer: clip_by_global_norm(max_grad_norm) -> adam(lr,
     # eps=1e-5), with the same linear lr anneal.
     ac = PU.AdamConsts(clip_norm=cfg.max_grad_norm)
-    total_opt_steps = cfg.total_updates * cfg.epochs * cfg.num_minibatches
-
-    def _fused_lr(count):
-        if not cfg.anneal_lr:
-            return jnp.float32(cfg.lr)
-        frac = jnp.minimum(count / jnp.float32(total_opt_steps), 1.0)
-        return jnp.float32(cfg.lr) * (1.0 - frac)
+    _fused_lr = make_fused_lr(cfg)
 
     def rollout(runner):
         if mode == "kernel":
@@ -278,27 +387,10 @@ def make_pallas_train_step(
         critic_w = critic_weights(runner.params)
         cdt = jnp.dtype(compute_dtype).type
         last_value = _tower(last_obs.T, critic_w, cdt)[0].reshape(rows, 128)
-        adv, ret = ppo_mod.compute_gae(
-            planes[:, TP_REW], planes[:, TP_VAL], planes[:, TP_DONE],
-            last_value, cfg.gamma, cfg.gae_lambda)
-        if axis_name is not None:
-            g_mean = jax.lax.pmean(jnp.mean(adv), axis_name)
-            g_var = jax.lax.pmean(jnp.mean((adv - g_mean) ** 2), axis_name)
-        else:
-            g_mean = jnp.mean(adv)
-            g_var = jnp.var(adv)
-        adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
-        advret = jnp.stack([adv, ret])        # (2, T, rows, 128)
+        advret = normalized_advret(planes, last_value, cfg, axis_name)
 
         # --- epochs x minibatches through the update megakernel ------------
-        def _losses(st, ent):
-            pg_loss = st[PU.ST_PG] * co.inv_m
-            v_loss = 0.5 * st[PU.ST_VL] * co.inv_m
-            loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
-            aux = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
-                       approx_kl=st[PU.ST_KL] * co.inv_m,
-                       clipfrac=st[PU.ST_CF] * co.inv_m)
-            return loss, aux
+        _losses = make_losses(cfg, co)
 
         def sgd_step(carry, perm_mb):
             params, opt_state = carry
@@ -350,19 +442,8 @@ def make_pallas_train_step(
             carry0 = (runner.params, runner.opt_state)
             step_fn = sgd_step
 
-        def epoch_body(carry, ekey):
-            perm = jax.random.permutation(ekey, n_rb)
-
-            def mb_body(carry, mb_idx):
-                perm_mb = jax.lax.dynamic_slice(
-                    perm, (mb_idx * mb_rb,), (mb_rb,))
-                return step_fn(carry, perm_mb)
-
-            return jax.lax.scan(mb_body, carry,
-                                jnp.arange(cfg.num_minibatches))
-
-        epoch_keys = jax.random.split(kperm, cfg.epochs)
-        carry, (losses, auxes) = jax.lax.scan(epoch_body, carry0, epoch_keys)
+        carry, (losses, auxes) = run_epoch_scans(
+            step_fn, carry0, kperm, cfg, n_rb, mb_rb)
         if fused_optimizer:
             tensors, mu, nu, count = carry
             params = _tensors_to_params(runner.params, tensors,
@@ -372,33 +453,8 @@ def make_pallas_train_step(
             params, opt_state = carry
 
         # --- metrics (keys match ppo.make_train_step) ----------------------
-        n_done = stats["episodes"]
-        ep_ret_sum = stats["ep_return_sum"]
-        ep_len_sum = stats["ep_length_sum"]
-        reward_sum = stats["reward_sum"]
-        if axis_name is not None:
-            n_done = jax.lax.psum(n_done, axis_name)
-            ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
-            ep_len_sum = jax.lax.psum(ep_len_sum, axis_name)
-            reward_sum = jax.lax.psum(reward_sum, axis_name)
-            denom = jnp.float32(cfg.horizon * local_envs) * jax.lax.psum(
-                jnp.float32(1.0), axis_name)
-        else:
-            denom = jnp.float32(cfg.horizon * local_envs)
-        metrics = dict(
-            loss=jnp.mean(losses),
-            reward_mean=reward_sum / denom,
-            episodes=n_done,
-            ep_return_mean=ep_ret_sum / jnp.maximum(n_done, 1.0),
-            ep_length_mean=ep_len_sum / jnp.maximum(n_done, 1.0),
-            **{k: jnp.mean(v) for k, v in auxes.items()},
-        )
-        if axis_name is not None:
-            # loss/aux are per-device means over identical data? no — data
-            # differs per device; average them like the scan trainer does
-            for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl",
-                      "clipfrac"):
-                metrics[k] = jax.lax.pmean(metrics[k], axis_name)
+        metrics = trainer_metrics(stats, losses, auxes, cfg, local_envs,
+                                  axis_name)
 
         runner2 = ppo_mod.RunnerState(
             params=params,

@@ -44,7 +44,7 @@ class RecurrentRunnerState:
     opt_state: Any
     env_state: Any           # batched (B, ...)
     last_obs: jnp.ndarray    # (B, OBS_DIM)
-    carry: Any               # LSTM (h, c), each (B, hidden)
+    carry: Any               # flax LSTMCell carry (c, h), each (B, hidden)
     key: jnp.ndarray
     update_idx: jnp.ndarray
 

@@ -43,11 +43,12 @@ import optax
 
 from drone_tpu import env as env_mod
 from drone_tpu import ppo as ppo_mod
+from drone_tpu import ppo_pallas as PPC  # shared trainer scaffolding
 from drone_tpu.ops import pallas_acting_lstm as PAL
 from drone_tpu.ops import pallas_acting_traj as PAT
 from drone_tpu.ops import pallas_update as PU
 from drone_tpu.ops import pallas_update_lstm as PUL
-from drone_tpu.ops.pallas_acting_traj import TP_DONE, TP_REW, TP_VAL, _dot32
+from drone_tpu.ops.pallas_acting_traj import _dot32
 from drone_tpu.ppo_rnn import RecurrentRunnerState
 from drone_tpu.types import EnvParams, EnvStatics
 
@@ -114,18 +115,15 @@ def optax_to_fused_opt_state(opt_state):
     """optax chain(clip_by_global_norm, adam) state -> recurrent fused
     (count, mu, nu) — ppo_pallas's shared conversion core over the LSTM
     kernel-tensor layout."""
-    from drone_tpu.ppo_pallas import adam_state_to_fused
-
-    return adam_state_to_fused(opt_state, lambda p: lstm_kernel_tensors(p)[0])
+    return PPC.adam_state_to_fused(opt_state,
+                                   lambda p: lstm_kernel_tensors(p)[0])
 
 
 def fused_to_optax_opt_state(optimizer, params, fused_state):
     """Recurrent fused (count, mu, nu) -> the optax state
     `optimizer.init(params)` would carry after the same number of steps."""
-    from drone_tpu.ppo_pallas import fused_to_adam_state
-
     _, n_enc = lstm_kernel_tensors(params)
-    return fused_to_adam_state(
+    return PPC.fused_to_adam_state(
         optimizer, params, fused_state,
         lambda t: lstm_tensors_to_params(params, t, n_enc))
 
@@ -172,36 +170,12 @@ def make_pallas_rnn_train_step(
     if mode not in ("kernel", "reference"):
         raise ValueError(f"mode must be 'kernel' or 'reference', got {mode!r}")
     local_envs = envs_per_device if envs_per_device is not None else cfg.num_envs
-    assert local_envs % 128 == 0, (
-        f"the megakernel trainer needs num_envs % 128 == 0, got {local_envs}")
-    rows = local_envs // 128
-    assert rows % cfg.num_minibatches == 0, (
-        f"lane rows ({rows} = {local_envs}/128) must divide into "
-        f"{cfg.num_minibatches} minibatches")
-    mb_rows = rows // cfg.num_minibatches
     bptt = cfg.bptt_horizon if cfg.bptt_horizon else cfg.horizon
     assert cfg.horizon % bptt == 0, (cfg.horizon, bptt)
-    m_samples = mb_rows * 128 * cfg.horizon
-    co = PU.UpdateConsts(clip_eps=cfg.clip_eps, vf_clip=cfg.vf_clip,
-                         vf_coef=cfg.vf_coef, inv_m=1.0 / m_samples)
-    rbu = PU.pick_row_block(mb_rows)
-    if mode == "kernel" and not interpret and rbu % 8:
-        raise ValueError(
-            f"compiled update kernels need 8-row (1024-lane) minibatch "
-            f"tiles: num_envs/device ({local_envs}) gives {mb_rows} rows "
-            f"per minibatch ({cfg.num_minibatches} minibatches), not a "
-            f"multiple of 8. Use num_envs divisible by "
-            f"{1024 * cfg.num_minibatches}, or interpret=True on CPU.")
-    n_rb = rows // rbu
-    mb_rb = mb_rows // rbu
+    rows, mb_rows, rbu, n_rb, mb_rb, co = PPC.plan_minibatch_geometry(
+        cfg, local_envs, mode, interpret)
     ac = PU.AdamConsts(clip_norm=cfg.max_grad_norm)
-    total_opt_steps = cfg.total_updates * cfg.epochs * cfg.num_minibatches
-
-    def _fused_lr(count):
-        if not cfg.anneal_lr:
-            return jnp.float32(cfg.lr)
-        frac = jnp.minimum(count / jnp.float32(total_opt_steps), 1.0)
-        return jnp.float32(cfg.lr) * (1.0 - frac)
+    _fused_lr = PPC.make_fused_lr(cfg)
 
     def rollout(runner):
         if mode == "kernel":
@@ -224,27 +198,10 @@ def make_pallas_rnn_train_step(
         # --- GAE on the planes (shared jnp: identical in both modes) -------
         last_value = _lstm_value(last_obs, last_carry, runner.params).reshape(
             rows, 128)
-        adv, ret = ppo_mod.compute_gae(
-            planes[:, TP_REW], planes[:, TP_VAL], planes[:, TP_DONE],
-            last_value, cfg.gamma, cfg.gae_lambda)
-        if axis_name is not None:
-            g_mean = jax.lax.pmean(jnp.mean(adv), axis_name)
-            g_var = jax.lax.pmean(jnp.mean((adv - g_mean) ** 2), axis_name)
-        else:
-            g_mean = jnp.mean(adv)
-            g_var = jnp.var(adv)
-        adv = (adv - g_mean) / jnp.sqrt(g_var + 1e-8)
-        advret = jnp.stack([adv, ret])        # (2, T, rows, 128)
+        advret = PPC.normalized_advret(planes, last_value, cfg, axis_name)
 
         # --- epochs x minibatches through the BPTT update kernel -----------
-        def _losses(st, ent):
-            pg_loss = st[PU.ST_PG] * co.inv_m
-            v_loss = 0.5 * st[PU.ST_VL] * co.inv_m
-            loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
-            aux = dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent,
-                       approx_kl=st[PU.ST_KL] * co.inv_m,
-                       clipfrac=st[PU.ST_CF] * co.inv_m)
-            return loss, aux
+        _losses = PPC.make_losses(cfg, co)
 
         def _minibatch_grads(tensors, perm_mb):
             ls = tensors[-1]
@@ -288,19 +245,8 @@ def make_pallas_rnn_train_step(
             carry0 = (runner.params, runner.opt_state)
             step_fn = sgd_step
 
-        def epoch_body(carry, ekey):
-            perm = jax.random.permutation(ekey, n_rb)
-
-            def mb_body(carry, mb_idx):
-                perm_mb = jax.lax.dynamic_slice(
-                    perm, (mb_idx * mb_rb,), (mb_rb,))
-                return step_fn(carry, perm_mb)
-
-            return jax.lax.scan(mb_body, carry,
-                                jnp.arange(cfg.num_minibatches))
-
-        epoch_keys = jax.random.split(kperm, cfg.epochs)
-        carry, (losses, auxes) = jax.lax.scan(epoch_body, carry0, epoch_keys)
+        carry, (losses, auxes) = PPC.run_epoch_scans(
+            step_fn, carry0, kperm, cfg, n_rb, mb_rb)
         if fused_optimizer:
             tensors, mu, nu, count = carry
             params = lstm_tensors_to_params(runner.params, tensors, n_enc0)
@@ -309,31 +255,8 @@ def make_pallas_rnn_train_step(
             params, opt_state = carry
 
         # --- metrics (keys match ppo_rnn.make_recurrent_train_step) --------
-        n_done = stats["episodes"]
-        ep_ret_sum = stats["ep_return_sum"]
-        ep_len_sum = stats["ep_length_sum"]
-        reward_sum = stats["reward_sum"]
-        if axis_name is not None:
-            n_done = jax.lax.psum(n_done, axis_name)
-            ep_ret_sum = jax.lax.psum(ep_ret_sum, axis_name)
-            ep_len_sum = jax.lax.psum(ep_len_sum, axis_name)
-            reward_sum = jax.lax.psum(reward_sum, axis_name)
-            denom = jnp.float32(cfg.horizon * local_envs) * jax.lax.psum(
-                jnp.float32(1.0), axis_name)
-        else:
-            denom = jnp.float32(cfg.horizon * local_envs)
-        metrics = dict(
-            loss=jnp.mean(losses),
-            reward_mean=reward_sum / denom,
-            episodes=n_done,
-            ep_return_mean=ep_ret_sum / jnp.maximum(n_done, 1.0),
-            ep_length_mean=ep_len_sum / jnp.maximum(n_done, 1.0),
-            **{k: jnp.mean(v) for k, v in auxes.items()},
-        )
-        if axis_name is not None:
-            for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl",
-                      "clipfrac"):
-                metrics[k] = jax.lax.pmean(metrics[k], axis_name)
+        metrics = PPC.trainer_metrics(stats, losses, auxes, cfg, local_envs,
+                                      axis_name)
 
         runner2 = RecurrentRunnerState(
             params=params,

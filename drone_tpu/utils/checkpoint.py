@@ -16,21 +16,38 @@ import orbax.checkpoint as ocp
 
 
 class Checkpointer:
+    """The manager (and the directory) is created lazily on first use, and
+    restore paths refuse to create anything: a restore-only caller with a
+    typo'd run name gets FileNotFoundError, not an empty fake run directory
+    on disk."""
+
     def __init__(self, directory: str | Path, max_to_keep: int = 3):
         self.dir = Path(directory).resolve()
-        self.dir.mkdir(parents=True, exist_ok=True)
-        self.mgr = ocp.CheckpointManager(
-            self.dir,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
-            ),
-        )
+        self._max_to_keep = max_to_keep
+        self._mgr = None
+
+    @property
+    def mgr(self) -> ocp.CheckpointManager:
+        if self._mgr is None:
+            self.dir.mkdir(parents=True, exist_ok=True)
+            self._mgr = ocp.CheckpointManager(
+                self.dir,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self._max_to_keep, create=True
+                ),
+            )
+        return self._mgr
+
+    def _require_existing(self):
+        if self._mgr is None and not self.dir.is_dir():
+            raise FileNotFoundError(f"no checkpoint directory {self.dir}")
 
     def save(self, step: int, runner) -> None:
         self.mgr.save(step, args=ocp.args.StandardSave(runner))
 
     def restore(self, runner_template, step: int | None = None):
         """Restore into the structure (and shardings) of runner_template."""
+        self._require_existing()
         step = self.mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.dir}")
@@ -44,13 +61,16 @@ class Checkpointer:
         structure). Use when only a subtree is needed (e.g. params for
         weight export) and shapes like num_envs may differ from the
         current config."""
+        self._require_existing()
         step = self.mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.dir}")
         return self.mgr.restore(step), step
 
     def wait(self):
-        self.mgr.wait_until_finished()
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
 
     def close(self):
-        self.mgr.close()
+        if self._mgr is not None:
+            self._mgr.close()

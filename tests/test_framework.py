@@ -625,3 +625,19 @@ def test_cli_watch_lstm_resets_carry(tmp_path):
     from viz.viewer import load_csv
     assert sum(int(row["done"]) for row in
                load_csv(tmp_path / "rnn.csv")) >= 2
+
+
+def test_checkpointer_restore_only_creates_nothing(tmp_path):
+    """A restore-only Checkpointer on a wrong path raises FileNotFoundError
+    WITHOUT creating an empty checkpoint tree (a typo'd run name must not
+    leave a fake run directory on disk)."""
+    from drone_tpu.utils.checkpoint import Checkpointer
+
+    missing = tmp_path / "no" / "such" / "run"
+    ck = Checkpointer(missing)
+    with pytest.raises(FileNotFoundError):
+        ck.restore_raw()
+    with pytest.raises(FileNotFoundError):
+        ck.restore(None)
+    assert not missing.exists()
+    assert not (tmp_path / "no").exists()

@@ -255,3 +255,17 @@ def test_compiled_lane_alignment_guard():
     with pytest.raises(ValueError, match="1024-aligned"):
         act_rollout_pallas(state, params, env.params, env.statics, 8,
                            lanes_per_block=256, interpret=False)
+
+    # the recurrent serving kernel applies the same guard (it has the same
+    # (L,)->(rb,128) reshapes; an unguarded call would die inside Mosaic)
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.ops import lstm_act_rollout_pallas
+
+    lmodel = LSTMActorCritic(hidden=16, encoder=(16,))
+    lcarry = lmodel.initial_carry((256,))
+    lparams = lmodel.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 13), jnp.float32),
+                          jax.tree_util.tree_map(lambda c: c[:1], lcarry))
+    with pytest.raises(ValueError, match="1024-aligned"):
+        lstm_act_rollout_pallas(state, lparams, lcarry, env.params,
+                                env.statics, 8, interpret=False)

@@ -285,6 +285,38 @@ def test_lstm_traj_kernel_compiled_on_tpu():
     assert np.isfinite(float(stats["reward_sum"]))
 
 
+def test_lstm_traj_kernel_multi_chunk_segments_on_tpu():
+    """BPTT segments spanning several time chunks (tc < bptt): the snap
+    anchor block is written only on the segment's FIRST chunk and must
+    survive the later chunks' revisits unwritten (Mosaic preserves a
+    revisited output block until its index advances). A tc=8 run must
+    reproduce the tc=16 (= bptt, write-every-chunk) run bit for bit."""
+    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.ops import traj_lstm_rollout_pallas
+
+    env = drone_tpu.DroneEnv()
+    model = LSTMActorCritic(hidden=128, encoder=(64,))
+    N, T, bptt = 1024, 32, 16
+    carry = model.initial_carry((N,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)),
+                        jax.tree_util.tree_map(lambda c: c[:1], carry))
+    outs = []
+    for tc in (8, 16):
+        _, carry2, planes, seg, stats = traj_lstm_rollout_pallas(
+            env.init_batch(7, N), params, carry, env.params, env.statics, T,
+            bptt=bptt, lanes_per_block=N, time_chunk=tc)
+        outs.append((carry2, planes, seg, stats))
+    (c_a, p_a, s_a, st_a), (c_b, p_b, s_b, st_b) = outs
+    for a, b in zip(jax.tree_util.tree_leaves((c_a, p_a, s_a)),
+                    jax.tree_util.tree_leaves((c_b, p_b, s_b))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(st_a["reward_sum"]) == float(st_b["reward_sum"])
+    # anchors: segment 0 is the zero carry; segment 1 is nonzero
+    np.testing.assert_array_equal(np.asarray(s_a[0][0]),
+                                  np.zeros_like(np.asarray(s_a[0][0])))
+    assert float(jnp.abs(s_a[1][1]).max()) > 0
+
+
 def test_sharded_wrappers_compile_on_tpu():
     """ops/sharded.py shard_map wrappers reach Mosaic on a single-device
     mesh (the kernel compiles under shard_map exactly as it would per
