@@ -125,23 +125,17 @@ def main(argv=None):
         import jax.numpy as jnp
         import numpy as np
 
-        import drone_tpu
+        from drone_tpu.train import build_env_and_model, restore_dir
         from drone_tpu.utils.checkpoint import Checkpointer
         from viz.viewer import dump_rollout, load_csv, render, render_gif
 
-        statics, env_params = cfg.env.build()
-        env = drone_tpu.DroneEnv(task=statics.task,
-                                 integrator=statics.integrator,
-                                 params=env_params)
-        ckpt = Checkpointer(
-            Path(cfg.run.checkpoint_dir) / cfg.run.run_name / "checkpoints")
+        # the shared factory: watch renders EXACTLY the model training
+        # built (hidden sizes, compute dtype) — no re-implemented switch
+        env, model = build_env_and_model(cfg)
+        ckpt = Checkpointer(restore_dir(cfg))
         raw, _ = ckpt.restore_raw()
         params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
         if cfg.run.policy == "lstm":
-            from drone_tpu.models import LSTMActorCritic
-
-            model = LSTMActorCritic(hidden=cfg.run.lstm_hidden,
-                                    encoder=tuple(cfg.run.hidden)[:1])
             fwd = jax.jit(model.apply)
             carry_box = [model.initial_carry((1,))]
 
@@ -153,14 +147,6 @@ def main(argv=None):
                 carry_box[0] = c2
                 return np.asarray(mean[0])
         else:
-            if cfg.run.policy == "cnn":
-                from drone_tpu.models import PixelActorCritic
-
-                model = PixelActorCritic()
-            else:
-                from drone_tpu.models import ActorCritic
-
-                model = ActorCritic(hidden=tuple(cfg.run.hidden))
             fwd = jax.jit(lambda p, o: model.apply(p, o[None])[0][0])
             policy_fn = lambda obs, done: np.asarray(
                 fwd(params, jnp.asarray(obs)))
@@ -169,7 +155,7 @@ def main(argv=None):
         dump_rollout(env, env.params, policy_fn, steps, csv_path,
                      seed=cfg.run.seed)
         gates = None
-        if statics.task == "racing":
+        if env.statics.task == "racing":
             g = np.asarray(env.params.gates)
             gates = [tuple(map(float, row))
                      for row in g[: int(env.params.n_gates)]]
@@ -179,14 +165,11 @@ def main(argv=None):
                else render(rows, args.out, gates=gates))
         print(f"wrote {out} (trajectory: {csv_path})")
     elif args.cmd == "export":
-        from pathlib import Path
-
         from drone_tpu.models import export_flat_weights
+        from drone_tpu.train import restore_dir
         from drone_tpu.utils.checkpoint import Checkpointer
 
-        ckpt = Checkpointer(
-            Path(cfg.run.checkpoint_dir) / cfg.run.run_name / "checkpoints"
-        )
+        ckpt = Checkpointer(restore_dir(cfg))
         raw, _ = ckpt.restore_raw()
         export_flat_weights(raw["params"], args.out, hidden=tuple(cfg.run.hidden))
         # also dump the env params struct for the C demo (native/demo.c),

@@ -375,11 +375,17 @@ def init_recurrent_runner(
 
 
 def rollout_recurrent(model, params, env, state, carry, steps: int,
-                      key=None, deterministic: bool = True):
+                      key=None, deterministic: bool = True, env_params=None):
     """Policy rollout for evaluation: returns (final_state, final_carry,
-    StepOut stacked over T)."""
+    StepOut stacked over T).
+
+    env_params: pass env.params through this (as a TRACED jit argument)
+    when calling under jit — closing over the env object would bake
+    EnvParams into XLA constants (strength-reduced divisions; the
+    CLAUDE.md traced-params invariant)."""
     obs0 = env.observe_batch(state)
-    p, statics = env.params, env.statics
+    p = env_params if env_params is not None else env.params
+    statics = env.statics
 
     def body(c, key_t):
         s, obs, lstm = c

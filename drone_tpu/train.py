@@ -24,6 +24,46 @@ from drone_tpu.utils.config import Config
 from drone_tpu.utils.metrics import MetricsLogger, RichDashboard, dashboard_line
 
 
+def build_env_and_model(cfg: Config):
+    """Config -> (env, model): THE policy-model construction switch, shared
+    by build()/evaluate()/`cli watch`/`cli export` so every surface renders
+    and evaluates exactly the model training built (same hidden sizes, same
+    compute dtype — a bf16-trained policy is a slightly different function
+    than its f32 reconstruction)."""
+    statics, params = cfg.env.build()
+    env = drone_tpu.DroneEnv(task=statics.task, integrator=statics.integrator,
+                             params=params)
+    if cfg.run.policy == "lstm":
+        from drone_tpu.models import LSTMActorCritic
+
+        model = LSTMActorCritic(hidden=cfg.run.lstm_hidden,
+                                encoder=tuple(cfg.run.hidden)[:1])
+    elif cfg.run.policy == "mlp":
+        import jax.numpy as jnp
+
+        dtype = {"float32": jnp.float32,
+                 "bfloat16": jnp.bfloat16}[cfg.run.compute_dtype]
+        model = ActorCritic(hidden=tuple(cfg.run.hidden), dtype=dtype)
+    elif cfg.run.policy == "cnn":
+        # pixel pipeline: obs -> on-device render -> CNN (models/cnn.py);
+        # same trainer — the renderer lives inside the module
+        from drone_tpu.models import PixelActorCritic
+
+        model = PixelActorCritic()
+    else:
+        raise ValueError(f"run.policy must be 'mlp', 'cnn' or 'lstm', got "
+                         f"{cfg.run.policy!r}")
+    return env, model
+
+
+def restore_dir(cfg: Config) -> Path:
+    """Where eval/watch/export restore from: run.resume_from when set (the
+    same knob train() resumes with), else the run's own checkpoint dir."""
+    if cfg.run.resume_from:
+        return Path(cfg.run.resume_from)
+    return Path(cfg.run.checkpoint_dir) / cfg.run.run_name / "checkpoints"
+
+
 def build(cfg: Config):
     """Config -> (env, model, optimizer, runner, step_fn, mesh|None)."""
     import dataclasses
@@ -34,37 +74,16 @@ def build(cfg: Config):
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
             cfg.train, total_updates=cfg.run.total_updates))
-    statics, params = cfg.env.build()
-    env = drone_tpu.DroneEnv(task=statics.task, integrator=statics.integrator,
-                             params=params)
+    env, model = build_env_and_model(cfg)
     recurrent = cfg.run.policy == "lstm"
     if recurrent:
         from drone_tpu import ppo_rnn
-        from drone_tpu.models import LSTMActorCritic
 
-        model = LSTMActorCritic(hidden=cfg.run.lstm_hidden,
-                                encoder=tuple(cfg.run.hidden)[:1])
         init_fn = ppo_rnn.init_recurrent_runner
         step_builder = ppo_rnn.make_recurrent_train_step
-    elif cfg.run.policy == "mlp":
-        import jax.numpy as jnp
-
-        dtype = {"float32": jnp.float32,
-                 "bfloat16": jnp.bfloat16}[cfg.run.compute_dtype]
-        model = ActorCritic(hidden=tuple(cfg.run.hidden), dtype=dtype)
-        init_fn = ppo_mod.init_runner
-        step_builder = ppo_mod.make_train_step
-    elif cfg.run.policy == "cnn":
-        # pixel pipeline: obs -> on-device render -> CNN (models/cnn.py);
-        # same trainer — the renderer lives inside the module
-        from drone_tpu.models import PixelActorCritic
-
-        model = PixelActorCritic()
-        init_fn = ppo_mod.init_runner
-        step_builder = ppo_mod.make_train_step
     else:
-        raise ValueError(f"run.policy must be 'mlp', 'cnn' or 'lstm', got "
-                         f"{cfg.run.policy!r}")
+        init_fn = ppo_mod.init_runner
+        step_builder = ppo_mod.make_train_step
     opt = ppo_mod.make_optimizer(cfg.train)
     runner = init_fn(model, env, cfg.train, seed=cfg.run.seed)
 
@@ -246,6 +265,20 @@ def train(cfg: Config, on_update=None):
 
     run_dir = Path(cfg.run.checkpoint_dir) / cfg.run.run_name
     ckpt = Checkpointer(run_dir / "checkpoints")
+    # A fresh run must not write into a directory holding another run's
+    # checkpoints: orbax's save() RETURNS False for an existing step instead
+    # of raising, so the run would "finish" while export/watch/eval silently
+    # serve the OLD weights. Self-resume (resume_from == this run's dir) is
+    # the one legitimate overlap.
+    resume_self = (bool(cfg.run.resume_from)
+                   and Path(cfg.run.resume_from).resolve() == ckpt.dir)
+    if (not resume_self and ckpt.dir.is_dir()
+            and any(ckpt.dir.iterdir())):
+        raise RuntimeError(
+            f"checkpoint directory {ckpt.dir} already contains a previous "
+            f"run's checkpoints (orbax silently skips saving over existing "
+            f"steps). Pick a fresh run.run_name, remove the directory, or "
+            f"continue that run with run.resume_from={ckpt.dir}")
     start_update = 0
     if cfg.run.resume_from:
         restorer = Checkpointer(cfg.run.resume_from)
@@ -318,15 +351,16 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
     import jax.numpy as jnp
     import numpy as np
 
-    env, model, opt, fresh, step, mesh = build(cfg)
+    # the light build: eval needs env + model only — never the training
+    # stack (a runner at train.num_envs, optimizer state, jitted step)
+    env, model = build_env_and_model(cfg)
     if runner is None:
         # restore RAW and take only the policy params: eval never needs the
         # env/optimizer state, and a full-runner restore would force the
         # eval config's num_envs (and trainer kind) to match the training
         # run's — e.g. a checkpoint trained with train.num_envs=8192 must
         # still evaluate under a config whose default is 65536
-        restorer = Checkpointer(Path(cfg.run.checkpoint_dir) / cfg.run.run_name
-                                / "checkpoints")
+        restorer = Checkpointer(restore_dir(cfg))
         raw, _ = restorer.restore_raw()
         params = jax.tree_util.tree_map(
             jnp.asarray, raw["params"])
@@ -386,11 +420,12 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
             )
             return _episode_stats(stats)
         _, _, out = jax.jit(
-            lambda s, c: ppo_rnn.rollout_recurrent(
+            lambda s, c, p: ppo_rnn.rollout_recurrent(
                 model, params, env, s, c, horizon,
                 key=jax.random.PRNGKey(0), deterministic=deterministic,
+                env_params=p,
             )
-        )(state, carry)
+        )(state, carry, env.params)
     else:
         def policy(obs, key):
             mean, log_std, _ = model.apply(params, obs)

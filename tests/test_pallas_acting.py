@@ -193,7 +193,8 @@ def test_lstm_acting_kernel_matches_scan():
     N, T = 256, 3
     state = env.init_batch(2, N)
     ref_s, ref_c, _ = jax.jit(
-        lambda s, c, p: ppo_rnn.rollout_recurrent(model, params, env, s, c, T)
+        lambda s, c, p: ppo_rnn.rollout_recurrent(model, params, env, s, c, T,
+                                                  env_params=p)
     )(state, carry, env.params)
     pal_s, pal_c, _ = lstm_act_rollout_pallas(
         env.init_batch(2, N), params, carry, env.params, env.statics, T,
@@ -211,8 +212,9 @@ def test_lstm_acting_kernel_matches_scan():
     p = env.params.replace(horizon=jnp.int32(50))
     env2 = drone_tpu.DroneEnv(params=p)
     _, _, outs = jax.jit(
-        lambda s, c: ppo_rnn.rollout_recurrent(model, params, env2, s, c, T2)
-    )(env.init_batch(2, N), carry)
+        lambda s, c, pp: ppo_rnn.rollout_recurrent(model, params, env2, s, c,
+                                                   T2, env_params=pp)
+    )(env.init_batch(2, N), carry, p)
     n_ref = int(jnp.sum(outs.terminated | outs.truncated))
     pal_s2, pal_c2, stats = lstm_act_rollout_pallas(
         env.init_batch(2, N), params, carry, p, env.statics, T2,

@@ -97,8 +97,9 @@ def test_carry_resets_in_rollout():
     p = env.params.replace(horizon=jnp.int32(10))
     env2 = drone_tpu.DroneEnv(params=p)
     _, final_carry, outs = jax.jit(
-        lambda s, c: ppo_rnn.rollout_recurrent(model, params, env2, s, c, 12)
-    )(state, carry)
+        lambda s, c, pp: ppo_rnn.rollout_recurrent(model, params, env2, s, c,
+                                                   12, env_params=pp)
+    )(state, carry, p)
     done_any = np.asarray(outs.terminated | outs.truncated).any(axis=0)
     assert done_any.all()  # horizon=10 < 12 steps: every lane reset
     # after a reset the carry was zeroed then updated once or twice — it must

@@ -225,3 +225,18 @@ def test_cross_trainer_resume_recurrent_both_directions(tmp_path):
     adam = ppo_pallas._find_state(rc.opt_state, _optax.ScaleByAdamState)
     assert int(adam.count) == 16
     assert np.isfinite(last2["loss"])
+
+
+def test_fresh_run_refuses_existing_checkpoint_dir(tmp_path):
+    """orbax silently returns False when saving over an existing step, so a
+    fresh run reusing a run_name would 'finish' while export/watch serve the
+    OLD weights. train() must refuse up front (self-resume stays legal)."""
+    import pytest
+
+    train(_cfg(tmp_path, "dup", 2, 2))
+    with pytest.raises(RuntimeError, match="previous run's checkpoints"):
+        train(_cfg(tmp_path, "dup", 2, 2))
+    # self-resume into the same directory is the legitimate overlap
+    runner, _ = train(_cfg(tmp_path, "dup", 4, 4,
+                           resume_from=str(tmp_path / "dup" / "checkpoints")))
+    assert int(runner.update_idx) == 4

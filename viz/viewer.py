@@ -102,6 +102,7 @@ def render(rows, out_path="trajectory.png", title="drone trajectory",
     ax.set_title(title)
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
+    plt.close(fig)  # as in render_gif: no figure leak across repeated calls
     return out_path
 
 
@@ -119,11 +120,16 @@ def render_gif(rows, out_path="trajectory.gif", title="drone flight",
     ys = [r["y"] for r in rows]
     zs = [r["z"] for r in rows]
 
+    def lim(lo, hi, pad=0.5):
+        # a constant coordinate (stable hover) would give identical limits;
+        # pad the range instead of relying on falsy-zero special cases
+        return (lo - pad, hi + pad) if hi - lo < pad else (lo, hi)
+
     fig = plt.figure(figsize=(7, 5))
     ax = fig.add_subplot(111, projection="3d")
-    ax.set_xlim(min(xs), max(xs) or 1)
-    ax.set_ylim(min(ys), max(ys) or 1)
-    ax.set_zlim(0, max(zs) or 1)
+    ax.set_xlim(*lim(min(xs), max(xs)))
+    ax.set_ylim(*lim(min(ys), max(ys)))
+    ax.set_zlim(*lim(0.0, max(zs)))
     ax.set_title(title)
     _draw_gates(ax, gates)
     (trail_ln,) = ax.plot([], [], [], lw=1.0, c="tab:blue")
@@ -167,13 +173,16 @@ def dump_rollout(env, params_pytree, policy_fn, steps, out_csv, seed=0):
 
     state = env.init(seed, 0, params=params_pytree)
     obs = env.observe(state)
-    step_j = jax.jit(lambda s, a: env.step(s, a, params_pytree))
+    # params as a TRACED argument, not a closure (CLAUDE.md invariant:
+    # closed-over EnvParams become XLA constants and divisions get
+    # strength-reduced — the rendered rollout must match eval bitwise)
+    step_j = jax.jit(lambda s, a, p: env.step(s, a, p))
     done = 0
     with open(out_csv, "w") as f:
         f.write("t,x,y,z,tx,ty,tz,reward,done\n")
         for t in range(steps):
             a = policy_fn(np.asarray(obs), done)
-            state, out = step_j(state, a)
+            state, out = step_j(state, a, params_pytree)
             obs = out.obs
             p = np.asarray(state.pos)
             tg = np.asarray(state.target)
