@@ -8,6 +8,9 @@
 set -ex
 cd "$(dirname "$0")/.."
 mkdir -p artifacts
+# a fresh artifact run must not collide with a previous one's checkpoints
+# (train refuses to write into a dir holding another run's steps)
+rm -rf experiments/racing
 python -m drone_tpu.cli train configs/racing.toml
 python -m drone_tpu.cli export configs/racing.toml --out artifacts/racing.drnw
 make -C native
