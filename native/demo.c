@@ -25,8 +25,8 @@
 #include "dronenet.h"
 #include "../oracle/drone_oracle.h" /* DroneParams + oracle API */
 
-/* Defaults mirror drone_tpu/types.py default_params(). */
-static DroneParams default_params(void) {
+/* Defaults mirror drone_tpu/types.py default_params(task). */
+static DroneParams default_params(int task) {
   DroneParams p;
   memset(&p, 0, sizeof(p));
   p.mass = 0.75f; p.gravity = 9.81f; p.arm_l = 0.08f; p.thrust_max = 4.6f;
@@ -34,7 +34,8 @@ static DroneParams default_params(void) {
   p.inertia_x = 0.0023f; p.inertia_y = 0.0023f; p.inertia_z = 0.004f;
   p.drag_lin = 0.10f; p.drag_ang = 0.003f; p.dt = 0.01f;
   p.target[0] = 0.0f; p.target[1] = 0.0f; p.target[2] = 1.5f;
-  p.bound = 5.0f; p.tilt_min = 0.0f; p.horizon = 1000;
+  p.bound = 5.0f; p.tilt_min = 0.0f;
+  p.horizon = task == 1 ? 1500 : 1000; /* waypoint runs longer, as in types.py */
   p.c_vel = 0.02f; p.c_spin = 0.01f; p.c_act = 0.01f;
   p.crash_penalty = -10.0f; p.reach_bonus = 10.0f; p.reach_tol2 = 0.09f;
   p.pos_radius = 1.0f; p.vel_max_init = 0.5f; p.rot_max_init = 0.5f;
@@ -69,7 +70,23 @@ int main(int argc, char **argv) {
     dronenet_free(&net);
     return 1;
   }
-  DroneParams p = default_params();
+  int episodes = argc > 3 ? atoi(argv[3]) : 8;
+  int task = argc > 4 ? atoi(argv[4]) : 0;
+  uint32_t seed = argc > 5 ? (uint32_t)strtoul(argv[5], NULL, 10) : 42u;
+  int integrator = argc > 6 ? atoi(argv[6]) : 0; /* 0=euler 1=rk4 */
+  if (task < 0 || task > 2) {
+    /* ids >= 3 would fall into drone_reset's racing else-branch but fail
+     * drone_step_keyed's exact task checks — an inconsistent hybrid env */
+    fprintf(stderr, "task must be 0 (hover), 1 (waypoint) or 2 (racing), "
+            "got %d\n", task);
+    return 2;
+  }
+  if (integrator < 0 || integrator > 1) {
+    fprintf(stderr, "integrator must be 0 (euler) or 1 (rk4), got %d\n",
+            integrator);
+    return 2;
+  }
+  DroneParams p = default_params(task);
   if (argc > 2 && strcmp(argv[2], "-") != 0) {
     FILE *f = fopen(argv[2], "rb");
     uint32_t hdr[3]; /* magic 'DRNP', version, sizeof(DroneParams) */
@@ -99,11 +116,6 @@ int main(int argc, char **argv) {
     }
     fclose(f);
   }
-  int episodes = argc > 3 ? atoi(argv[3]) : 8;
-  int task = argc > 4 ? atoi(argv[4]) : 0;
-  uint32_t seed = argc > 5 ? (uint32_t)strtoul(argv[5], NULL, 10) : 42u;
-  int integrator = argc > 6 ? atoi(argv[6]) : 0; /* 0=euler 1=rk4 */
-
   float *scratch = malloc((size_t)dronenet_scratch_size(&net) * 4);
   float *state = net.state_size ? malloc((size_t)net.state_size * 4) : NULL;
   dronenet_reset_state(&net, state); /* zero recurrent state (LSTM policies) */

@@ -17,9 +17,14 @@ static float *read_floats(FILE *f, size_t n) {
   return p;
 }
 
+static int dims_ok(int32_t in, int32_t out) {
+  return in > 0 && out > 0 && in <= (1 << 16) && out <= (1 << 16);
+}
+
 static int load_dense(FILE *f, DroneNetLayer *L) {
   int32_t dims[3];
   if (fread(dims, 4, 3, f) != 3) return 1;
+  if (!dims_ok(dims[0], dims[1])) return 1;
   L->kind = DRNW_KIND_DENSE;
   L->in_dim = dims[0];
   L->out_dim = dims[1];
@@ -32,6 +37,7 @@ static int load_dense(FILE *f, DroneNetLayer *L) {
 static int load_lstm(FILE *f, DroneNetLayer *L) {
   int32_t dims[2];
   if (fread(dims, 4, 2, f) != 2) return 1;
+  if (!dims_ok(dims[0], dims[1])) return 1;
   L->kind = DRNW_KIND_LSTM;
   L->in_dim = dims[0];
   L->out_dim = dims[1]; /* hidden */
@@ -74,6 +80,13 @@ int dronenet_load(DroneNet *net, const char *path) {
     } else {
       goto fail;
     }
+  }
+  /* the layer chain must be consistent: a malformed/corrupt file whose
+   * layer i claims in_dim != layer i-1's out_dim would make dense_fwd/
+   * lstm_fwd read past the scratch ping-pong buffer (sized from the
+   * declared dims) — reject it here, not in the inner loops */
+  for (int i = 1; i < net->n_layers; i++) {
+    if (net->layers[i].in_dim != net->layers[i - 1].out_dim) goto fail;
   }
   net->in_dim = net->layers[0].in_dim;
   net->out_dim = net->layers[net->n_layers - 1].out_dim;

@@ -89,10 +89,17 @@ def build_oracle(sanitize: bool = False) -> pathlib.Path:
     """Compile the oracle .so if missing/stale; returns the library path."""
     target = "asan" if sanitize else "all"
     lib = _DIR / ("libdrone_oracle_asan.so" if sanitize else "libdrone_oracle.so")
-    src = _DIR / "drone_oracle.c"
-    if not lib.exists() or lib.stat().st_mtime < src.stat().st_mtime:
-        subprocess.run(["make", "-C", str(_DIR), target], check=True,
-                       capture_output=True)
+    # the header defines DroneParams — the wire format this module's CParams
+    # mirrors — so a header edit must invalidate the binary too
+    srcs = [_DIR / "drone_oracle.c", _DIR / "drone_oracle.h"]
+    if not lib.exists() or any(lib.stat().st_mtime < s.stat().st_mtime
+                               for s in srcs):
+        try:
+            subprocess.run(["make", "-C", str(_DIR), target], check=True,
+                           capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            raise RuntimeError(
+                f"oracle build failed:\n{e.stderr}") from e
     return lib
 
 
@@ -203,6 +210,19 @@ class Oracle:
                                out["ep_return"], out["ep_length"])
         return out
 
+    @staticmethod
+    def _flat_inplace(a, name):
+        """Flatten a state array for the in-place C call. A non-contiguous
+        view (e.g. fs[::2]) would reshape into a COPY: the ndpointer
+        contiguity check would pass on the copy and the C updates would be
+        silently discarded — refuse instead."""
+        if not a.flags.c_contiguous:
+            raise ValueError(
+                f"{name} must be C-contiguous for the in-place batch call "
+                f"(a strided view would be copied and the C state updates "
+                f"lost); pass np.ascontiguousarray() and copy back yourself")
+        return a.reshape(-1)
+
     # -- batch ----------------------------------------------------------------
     def reset_batch(self, seed: int, n: int, episode: int = 0):
         keys = np.zeros(2 * n, np.uint32)
@@ -212,7 +232,8 @@ class Oracle:
             keys[2 * l + 1] = k1
         fs = np.zeros((n, FSTATE_DIM), np.float32)
         istate = np.zeros((n, ISTATE_DIM), np.int32)
-        self.lib.drone_reset_batch(fs.reshape(-1), istate.reshape(-1),
+        self.lib.drone_reset_batch(self._flat_inplace(fs, "fs"),
+                                   self._flat_inplace(istate, "istate"),
                                    ct.byref(self.cparams), keys, episode,
                                    self.task, n)
         return fs, istate, keys
@@ -226,7 +247,8 @@ class Oracle:
         epret = np.zeros(n, np.float32)
         eplen = np.zeros(n, np.int32)
         act = np.ascontiguousarray(actions, np.float32)
-        self.lib.drone_step_batch(fs.reshape(-1), istate.reshape(-1),
+        self.lib.drone_step_batch(self._flat_inplace(fs, "fs"),
+                                  self._flat_inplace(istate, "istate"),
                                   act.reshape(-1), ct.byref(self.cparams),
                                   keys, self.task, self.integrator, n,
                                   obs.reshape(-1), rew, term, trunc, epret,

@@ -143,3 +143,20 @@ def test_randomized_inits_within_bounds(setup):
     assert (np.abs(np.asarray(sb.omega)) <= float(p.omega_max_init) + 1e-6).all()
     qn = np.linalg.norm(np.asarray(sb.quat), axis=1)
     assert np.allclose(qn, 1.0, atol=1e-6)
+
+
+def test_oracle_batch_refuses_noncontiguous_state():
+    """The in-place C batch calls flatten their state arrays; a strided view
+    would reshape into a COPY and the C updates would be silently lost —
+    the oracle refuses instead of corrupting the trajectory."""
+    import pytest
+    from oracle.oracle import Oracle
+    from drone_tpu.types import default_params
+
+    o = Oracle(default_params("hover"), task="hover")
+    fs, ist, keys = o.reset_batch(3, 8)
+    acts = np.zeros((4, 4), np.float32)
+    with pytest.raises(ValueError, match="contiguous"):
+        o.step_batch(fs[::2], ist[::2], acts, keys[: 2 * 4])
+    # the contiguous path still works
+    o.step_batch(fs[:4].copy(), ist[:4].copy(), acts, keys[: 2 * 4].copy())

@@ -641,3 +641,54 @@ def test_checkpointer_restore_only_creates_nothing(tmp_path):
         ck.restore(None)
     assert not missing.exists()
     assert not (tmp_path / "no").exists()
+
+
+def test_dronenet_rejects_malformed_files(tmp_path, demo_binary):
+    """dronenet_load refuses files whose layer chain is inconsistent or
+    whose dims are absurd — a corrupt .drnw must fail loading, not overrun
+    the scratch buffer inside the forward loops."""
+    import ctypes as ct
+    import struct
+
+    lib = ct.CDLL(str(REPO / "native" / "libdronenet.so"))
+    net = ct.create_string_buffer(16 * 1024)
+
+    def dense(i, o, act=1):
+        return (struct.pack("<iii", i, o, act)
+                + np.zeros(i * o + o, np.float32).tobytes())
+
+    # chain mismatch: layer1 claims in=4096 after layer0's out=16
+    bad_chain = struct.pack("<iii", 0x44524E57, 1, 2) + dense(13, 16) \
+        + dense(4096, 4)
+    p = tmp_path / "chain.drnw"
+    p.write_bytes(bad_chain)
+    assert lib.dronenet_load(net, str(p).encode()) != 0
+
+    # absurd dims: negative / oversized
+    bad_dims = struct.pack("<iii", 0x44524E57, 1, 1) + struct.pack(
+        "<iii", -13, 1 << 20, 1)
+    p2 = tmp_path / "dims.drnw"
+    p2.write_bytes(bad_dims)
+    assert lib.dronenet_load(net, str(p2).encode()) != 0
+
+    # and a well-formed 2-layer file still loads
+    ok = struct.pack("<iii", 0x44524E57, 1, 2) + dense(13, 16) + dense(16, 4)
+    p3 = tmp_path / "ok.drnw"
+    p3.write_bytes(ok)
+    assert lib.dronenet_load(net, str(p3).encode()) == 0
+
+
+def test_demo_rejects_bad_task_and_integrator(tmp_path, demo_binary):
+    """The demo validates its task/integrator arguments instead of running
+    an inconsistent hybrid environment (reset takes the racing branch but
+    step's task checks never fire for ids >= 3)."""
+    model = ActorCritic(hidden=(16,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    out = tmp_path / "p.drnw"
+    export_flat_weights(params, out, hidden=(16,))
+    r = subprocess.run([str(demo_binary), str(out), "-", "1", "3", "0", "0"],
+                       capture_output=True, text=True, cwd=tmp_path)
+    assert r.returncode == 2 and "task" in r.stderr
+    r = subprocess.run([str(demo_binary), str(out), "-", "1", "0", "0", "7"],
+                       capture_output=True, text=True, cwd=tmp_path)
+    assert r.returncode == 2 and "integrator" in r.stderr
