@@ -100,6 +100,10 @@ class DroneGymnasium(_EnvBase):
                                                  self.env.params)
         self._state = state
         self._stepped = True
+        # ONE device->host transfer for the whole StepOut (each scalar
+        # fetch costs ~50 ms on the tunneled TPU; 5 separate bool()/float()
+        # reads per step would dominate the step time)
+        out, terminal_obs = jax.device_get((out, terminal_obs))
         terminated = bool(out.terminated)
         truncated = bool(out.truncated)
         info = {}
@@ -171,11 +175,20 @@ class DroneVectorGymnasium(_VectorEnvBase):
                 lambda ss, aa: env_mod.step_terminal(ss, aa, p, statics)
             )(s, a))
         self._state = None
+        self._episode = 0
 
     def reset(self, *, seed: int | None = None, options: dict | None = None):
         if seed is not None:
             self._seed = seed
-        self._state = self.env.init_batch(self._seed, self.num_envs)
+            self._episode = 0
+        elif self._state is not None:
+            # unseeded re-reset: advance every lane's counter-RNG episode
+            # stream (gymnasium expects reset() to continue the RNG —
+            # replaying init_batch(seed) would score the identical episode
+            # set on every eval round)
+            self._episode += 1
+        self._state = self.env.init_batch(self._seed, self.num_envs,
+                                          episode=self._episode)
         return np.asarray(self.env.observe_batch(self._state)), {}
 
     def step(self, actions):
@@ -192,7 +205,10 @@ class DroneVectorGymnasium(_VectorEnvBase):
             final = np.where(done[:, None], terminal_obs, np.nan)
             infos["final_obs"] = final
             infos["final_observation"] = final
+            # gymnasium's vector-info convention pairs every key with a
+            # "_<key>" mask — emit one per naming, not just the 1.0 name
             infos["_final_obs"] = done.copy()
+            infos["_final_observation"] = done.copy()
             infos["episode_return"] = out.ep_return[done]
             infos["episode_length"] = out.ep_length[done]
         return (np.asarray(out.obs), np.asarray(out.reward),

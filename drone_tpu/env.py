@@ -60,10 +60,13 @@ def reset_state(key0, key1, episode, p: EnvParams, statics: EnvStatics) -> EnvSt
     )
 
 
-def init_state(seed, lane, p: EnvParams, statics: EnvStatics) -> EnvState:
-    """Episode-0 state for lane `lane` under global seed `seed`."""
+def init_state(seed, lane, p: EnvParams, statics: EnvStatics,
+               episode=0) -> EnvState:
+    """Episode-`episode` state for lane `lane` under global seed `seed`
+    (episode advances the lane's counter-RNG reset stream — the same stream
+    auto-reset walks; no new arithmetic, just the counter)."""
     k0, k1 = prng.lane_key(seed, lane)
-    return reset_state(k0, k1, jnp.uint32(0), p, statics)
+    return reset_state(k0, k1, jnp.uint32(episode), p, statics)
 
 
 def observe(state: EnvState) -> jnp.ndarray:
@@ -209,10 +212,12 @@ class DroneEnv:
         return observe(state)
 
     # batched API ------------------------------------------------------------
-    def init_batch(self, seed, n: int, params: EnvParams | None = None) -> EnvState:
+    def init_batch(self, seed, n: int, params: EnvParams | None = None,
+                   episode: int = 0) -> EnvState:
         p = self.params if params is None else params
         lanes = jnp.arange(n, dtype=jnp.uint32)
-        return jax.vmap(lambda l: init_state(jnp.uint32(seed), l, p, self.statics))(lanes)
+        return jax.vmap(lambda l: init_state(jnp.uint32(seed), l, p,
+                                             self.statics, episode))(lanes)
 
     def step_batch(self, state: EnvState, actions, params: EnvParams | None = None):
         p = self.params if params is None else params

@@ -61,6 +61,7 @@ class DroneSwarmParallel(_ParallelBase):
                 lambda ss, aa: env_mod.step_terminal(ss, aa, p, statics)
             )(s, a))
         self._state = None
+        self._episode = 0
 
     def observation_space(self, agent):
         return self._obs_space
@@ -71,8 +72,14 @@ class DroneSwarmParallel(_ParallelBase):
     def reset(self, seed=None, options=None):
         if seed is not None:
             self._seed = seed
+            self._episode = 0
+        elif self._state is not None:
+            # unseeded re-reset: fresh episodes via the counter-RNG episode
+            # stream, not a byte-identical replay of the same batch
+            self._episode += 1
         self.agents = list(self.possible_agents)
-        self._state = self.env.init_batch(self._seed, self._n)
+        self._state = self.env.init_batch(self._seed, self._n,
+                                          episode=self._episode)
         obs = np.asarray(self.env.observe_batch(self._state))
         return ({a: obs[i] for i, a in enumerate(self.possible_agents)},
                 {a: {} for a in self.possible_agents})

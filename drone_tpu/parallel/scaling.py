@@ -5,7 +5,10 @@ Rebuild of the distributed tier's missing piece (SURVEY.md §4.2 tier 5:
 Runs the SAME shard_map'd PPO train step over meshes of 1, 2, 4, ... N
 devices with the env batch scaled proportionally (weak scaling — the
 production regime: more chips => more drones), reports steps/s and
-efficiency relative to the 1-device run.
+efficiency relative to the per-device throughput of the FIRST entry of
+device_counts (the smallest mesh measured; pass device_counts starting at
+1 to make that the 1-device run — efficiency columns from sweeps with
+different device_counts lists are not comparable).
 
 On a pod slice this measures real ICI/DCN scaling; under the virtual-CPU
 mesh used in CI it only validates the harness mechanics (CPU "devices"

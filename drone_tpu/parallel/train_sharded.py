@@ -64,6 +64,16 @@ def make_sharded_train_step(
     segmented_forward update (optax opt state; the fallback when the batch
     shape or bptt_horizon exceeds the update kernel's envelope).
     """
+    if trainer not in ("scan", "pallas", "pallas_rollout"):
+        raise ValueError(
+            f"trainer must be 'scan', 'pallas' or 'pallas_rollout', got "
+            f"{trainer!r} (a typo would silently fall through to the scan "
+            f"trainer and misattribute throughput)")
+    if trainer == "pallas_rollout" and not recurrent:
+        raise ValueError(
+            "trainer='pallas_rollout' is the recurrent hybrid tier "
+            "(LSTM rollout kernel + XLA update); for the MLP megakernel "
+            "trainer use trainer='pallas'")
     n_dev = mesh.devices.size
     assert cfg.num_envs % n_dev == 0, (
         f"num_envs ({cfg.num_envs}) must divide the mesh size ({n_dev})"

@@ -400,6 +400,11 @@ def rollout_recurrent(model, params, env, state, carry, steps: int,
         lstm3 = _mask_carry(lstm2, out.terminated | out.truncated)
         return (s2, out.obs, lstm3), out
 
+    if key is None and not deterministic:
+        raise ValueError(
+            "stochastic rollout_recurrent needs a PRNG key: with key=None "
+            "every step would draw the SAME noise from the zero key "
+            "(time-correlated 'exploration', silently degenerate)")
     keys = (
         jax.random.split(key, steps)
         if key is not None

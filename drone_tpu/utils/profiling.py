@@ -23,16 +23,28 @@ def xprof_trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _value_fetch(out):
+    """Device->host VALUE fetch of one output leaf. block_until_ready can
+    return EARLY on this image's tunneled TPU (CLAUDE.md timing invariant:
+    timing must end with a value fetch); materializing a result leaf cannot.
+    """
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(leaves[0]).ravel()[:1]
+
+
 def timed(fn, *args, iters: int = 10, warmup: int = 2):
     """Wall-clock a jitted fn with proper device sync. Returns (mean_s, out)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _value_fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _value_fetch(out)
     return (time.perf_counter() - t0) / iters, out
 
 

@@ -258,3 +258,28 @@ def test_train_build_sharded_pallas(tmp_path):
     runner, last = train(cfg)
     assert np.isfinite(last["loss"])
     assert isinstance(runner.opt_state, tuple) and len(runner.opt_state) == 3
+
+
+def test_sharded_trainer_name_is_validated():
+    """A typo'd trainer string must raise, not silently fall through to the
+    scan trainer (misattributed throughput)."""
+    import pytest
+
+    import drone_tpu
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu.models import ActorCritic
+    from drone_tpu.parallel import make_mesh, make_sharded_train_step
+
+    env = drone_tpu.DroneEnv()
+    cfg = ppo_mod.PPOConfig(horizon=4, num_envs=16, epochs=1,
+                            num_minibatches=1)
+    model = ActorCritic(hidden=(8,))
+    opt = ppo_mod.make_optimizer(cfg)
+    mesh = make_mesh(jax.devices()[:1])
+    with pytest.raises(ValueError, match="trainer must be"):
+        make_sharded_train_step(model.apply, opt, env.params, env.statics,
+                                cfg, mesh, trainer="Pallas")
+    with pytest.raises(ValueError, match="recurrent hybrid"):
+        make_sharded_train_step(model.apply, opt, env.params, env.statics,
+                                cfg, mesh, trainer="pallas_rollout",
+                                recurrent=False)
