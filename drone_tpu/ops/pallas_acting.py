@@ -63,18 +63,40 @@ def actor_weights(params):
     return ws
 
 
-def _gauss4(k0, k1, e, stp, shape):
-    """4 standard normals per lane at noise blocks NOISE_BLOCK0 + 2*step
-    (+1), step being the lane's carried episode-step counter (collision-free
-    across chained kernel calls): Box-Muller over the lane's counter
-    stream."""
-    jb = jnp.uint32(NOISE_BLOCK0) + jnp.uint32(2) * jnp.asarray(stp).astype(jnp.uint32)
+def _dot32(w, x, dtype=jnp.float32):
+    """MXU matmul with f32 accumulation; dtype=bfloat16 casts the OPERANDS
+    only (the ~3x-rate / ulp-precision trade both trainers expose). The ONE
+    dot formulation shared by every policy kernel and mirror."""
+    if dtype == jnp.float32:
+        return jnp.dot(w, x, preferred_element_type=jnp.float32)
+    return jnp.dot(w.astype(dtype), x.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _tower(x, weights, dtype=jnp.float32):
+    """(in, L) @ MXU tower -> (out, L); tanh between layers, linear head.
+    The ONE formulation shared by kernel and reference (bitwise contract).
+    Biases may be (out,) or column (out, 1) — the fused-optimizer path keeps
+    them 2-D so gradient/optimizer tensors share one shape."""
+    n = len(weights)
+    for li, (w, b) in enumerate(weights):
+        x = _dot32(w, x, dtype) + (b if b.ndim == 2 else b[:, None])
+        if li < n - 1:
+            x = jnp.tanh(x)
+    return x
+
+
+def _gauss4_planes(k0, k1, e, stp, uniform):
+    """4 standard normals at blocks NOISE_BLOCK0 + 2*step (+1), step being
+    the lane's carried episode-step counter (collision-free across chained
+    kernel calls): Box-Muller over the lane's counter stream. Shared
+    expression order for every kernel (uniform=PR._uniform) and reference
+    mirror (uniform=prng.bits_to_uniform)."""
+    jb = (jnp.uint32(NOISE_BLOCK0)
+          + jnp.uint32(2) * jnp.asarray(stp).astype(jnp.uint32))
     b0, b1 = prng.threefry2x32(k0, k1, e, jb)
     b2, b3 = prng.threefry2x32(k0, k1, e, jb + jnp.uint32(1))
-    u1 = PR._uniform(b0)
-    u2 = PR._uniform(b1)
-    u3 = PR._uniform(b2)
-    u4 = PR._uniform(b3)
+    u1, u2, u3, u4 = uniform(b0), uniform(b1), uniform(b2), uniform(b3)
     # 1-u in (0, 1]: log never sees 0
     r1 = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
     r2 = jnp.sqrt(-2.0 * jnp.log(1.0 - u3))
@@ -101,18 +123,14 @@ def _acting_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, std_ref, *w_refs,
 
     def body(t, carry):
         c, acc = carry
-        x = PR.obs_matrix(c, L)
-        for li, (w, b) in enumerate(weights):
-            x = jnp.dot(w, x, preferred_element_type=jnp.float32) + b[:, None]
-            if li < n_layers - 1:
-                x = jnp.tanh(x)
+        x = _tower(PR.obs_matrix(c, L), weights)
         a0 = x[0].reshape(shape)
         a1 = x[1].reshape(shape)
         a2 = x[2].reshape(shape)
         a3 = x[3].reshape(shape)
         if stochastic:
             rc, k0, k1 = c[22], c[23], c[24]
-            z0, z1, z2, z3 = _gauss4(k0, k1, rc, c[19], shape)
+            z0, z1, z2, z3 = _gauss4_planes(k0, k1, rc, c[19], PR._uniform)
             a0 = a0 + std_ref[0, 0] * z0
             a1 = a1 + std_ref[0, 1] * z1
             a2 = a2 + std_ref[0, 2] * z2
@@ -187,12 +205,7 @@ def act_rollout_pallas(state: EnvState, policy_params, env_params: EnvParams,
     """
     n = state.pos.shape[0]
     lanes_per_block = PR.pick_lanes_per_block(n, lanes_per_block)
-    if not interpret and lanes_per_block % 1024:
-        raise ValueError(
-            f"compiled policy kernels need 1024-aligned lane blocks "
-            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
-            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
-            f"interpret=True for small CPU runs.")
+    PR.check_compiled_lane_block(lanes_per_block, n, interpret)
     weights = actor_weights(policy_params)
     p = policy_params["params"] if "params" in policy_params else policy_params
     std = jnp.exp(jnp.asarray(p["log_std"], jnp.float32)).reshape(1, 4)

@@ -454,12 +454,7 @@ def traj_lstm_rollout_pallas(state: EnvState, policy_params, carry,
     if lanes_per_block is not None:
         cap = min(cap, lanes_per_block)
     lanes_per_block = PR.pick_lanes_per_block(n, min(8192, cap))
-    if not interpret and lanes_per_block % 1024:
-        raise ValueError(
-            f"compiled policy kernels need 1024-aligned lane blocks "
-            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
-            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
-            f"interpret=True for small CPU runs.")
+    PR.check_compiled_lane_block(lanes_per_block, n, interpret)
     tc = time_chunk if time_chunk is not None else pick_time_chunk(bptt)
     assert bptt % tc == 0, (bptt, tc)
     if not interpret and tc != T and tc % 8:
@@ -581,12 +576,7 @@ def lstm_act_rollout_pallas(state: EnvState, policy_params, carry,
     if lanes_per_block is not None:
         cap = min(cap, lanes_per_block)
     lanes_per_block = PR.pick_lanes_per_block(n, min(8192, cap))
-    if not interpret and lanes_per_block % 1024:
-        raise ValueError(
-            f"compiled policy kernels need 1024-aligned lane blocks "
-            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
-            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
-            f"interpret=True for small CPU runs.")
+    PR.check_compiled_lane_block(lanes_per_block, n, interpret)
     final, out_carry, stats = _run(
         state, tuple(carry), weights, env_params, T=T,
         lanes_per_block=lanes_per_block, task=statics.task,

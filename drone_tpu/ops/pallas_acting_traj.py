@@ -47,9 +47,15 @@ from jax.experimental.pallas import tpu as pltpu
 from drone_tpu import env as env_mod
 from drone_tpu import prng
 from drone_tpu.ops import pallas_rollout as PR
-from drone_tpu.ops.pallas_acting import (
+# the shared kernel math lives in pallas_acting (the import-graph base):
+# ONE _dot32/_tower/_gauss4_planes for every policy kernel and mirror —
+# never fork copies (CLAUDE.md megakernel contract)
+from drone_tpu.ops.pallas_acting import (  # noqa: F401 — re-exported
     NOISE_BLOCK0,
     _TWO_PI,
+    _dot32,
+    _gauss4_planes,
+    _tower,
     actor_weights,
     dense_tower,
 )
@@ -93,30 +99,6 @@ def _log_std(params):
     return jnp.asarray(p["log_std"], jnp.float32).reshape(1, 4)
 
 
-def _dot32(w, x, dtype=jnp.float32):
-    """MXU matmul with f32 accumulation; dtype=bfloat16 feeds the systolic
-    array bf16 operands (~3x the f32 matmul rate on v5e) while keeping the
-    f32 accumulator. THE matmul primitive shared by every kernel and mirror
-    in the traj/update path (the bitwise contract holds per dtype)."""
-    if dtype == jnp.float32:
-        return jnp.dot(w, x, preferred_element_type=jnp.float32)
-    return jnp.dot(w.astype(dtype), x.astype(dtype),
-                   preferred_element_type=jnp.float32)
-
-
-def _tower(x, weights, dtype=jnp.float32):
-    """(in, L) @ MXU tower -> (out, L); tanh between layers, linear head.
-    The ONE formulation shared by kernel and reference (bitwise contract).
-    Biases may be (out,) or column (out, 1) — the fused-optimizer path keeps
-    them 2-D so gradient/optimizer tensors share one shape."""
-    n = len(weights)
-    for li, (w, b) in enumerate(weights):
-        x = _dot32(w, x, dtype) + (b if b.ndim == 2 else b[:, None])
-        if li < n - 1:
-            x = jnp.tanh(x)
-    return x
-
-
 def _sample_logp(m, z, ls_scalars, stochastic):
     """action/logp from mean planes m[4], noise z[4], log_std scalars.
 
@@ -133,23 +115,6 @@ def _sample_logp(m, z, ls_scalars, stochastic):
         a.append(a_k)
     logp = ((lp[0] + lp[1]) + lp[2]) + lp[3]
     return a, logp
-
-
-def _gauss4_planes(k0, k1, e, stp, uniform):
-    """4 standard normals at blocks NOISE_BLOCK0 + 2*step (+1), Box-Muller.
-    Shared expression order for kernel (uniform=PR._uniform) and reference
-    (uniform=prng.bits_to_uniform)."""
-    jb = (jnp.uint32(NOISE_BLOCK0)
-          + jnp.uint32(2) * jnp.asarray(stp).astype(jnp.uint32))
-    b0, b1 = prng.threefry2x32(k0, k1, e, jb)
-    b2, b3 = prng.threefry2x32(k0, k1, e, jb + jnp.uint32(1))
-    u1, u2, u3, u4 = uniform(b0), uniform(b1), uniform(b2), uniform(b3)
-    r1 = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
-    r2 = jnp.sqrt(-2.0 * jnp.log(1.0 - u3))
-    a1 = jnp.float32(_TWO_PI) * u2
-    a2 = jnp.float32(_TWO_PI) * u4
-    return (r1 * jnp.cos(a1), r1 * jnp.sin(a1),
-            r2 * jnp.cos(a2), r2 * jnp.sin(a2))
 
 
 def _traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, ls_ref, *refs,
@@ -370,12 +335,7 @@ def traj_act_rollout_pallas_planes(state: EnvState, policy_params,
     buffer bytes of HBM traffic per rollout — ~1.4 GB at 64k lanes)."""
     n = state.pos.shape[0]
     lanes_per_block = PR.pick_lanes_per_block(n, lanes_per_block)
-    if not interpret and lanes_per_block % 1024:
-        raise ValueError(
-            f"compiled policy kernels need 1024-aligned lane blocks "
-            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
-            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
-            f"interpret=True for small CPU runs.")
+    PR.check_compiled_lane_block(lanes_per_block, n, interpret)
     tc = time_chunk if time_chunk is not None else pick_time_chunk(T)
     assert T % tc == 0, (T, tc)
     actor_w = tuple(actor_weights(policy_params))

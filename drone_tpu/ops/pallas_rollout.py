@@ -157,6 +157,19 @@ def pick_lanes_per_block(n: int, cap: int = 8192) -> int:
     return 128
 
 
+def check_compiled_lane_block(lanes_per_block: int, n: int, interpret: bool):
+    """THE compiled-mode lane-block precondition (one copy for every policy
+    kernel entry point): Mosaic needs rb % 8 == 0 for the (L,) -> (rb, 128)
+    reshapes, i.e. 1024-aligned blocks — raise an actionable error instead
+    of a Mosaic layout failure."""
+    if not interpret and lanes_per_block % 1024:
+        raise ValueError(
+            f"compiled policy kernels need 1024-aligned lane blocks "
+            f"(Mosaic reshape rule; got lanes_per_block={lanes_per_block} "
+            f"from n={n}). Use a batch with a 1024-multiple divisor, or "
+            f"interpret=True for small CPU runs.")
+
+
 def obs_matrix(c, L):
     """tasks.observation in plane space: carry tuple -> (OBS_DIM, L) matrix
     (shared by the acting kernels so the obs layout lives in ONE place)."""

@@ -62,10 +62,10 @@ def rollout_policy(state: EnvState, policy_fn, steps: int, p: EnvParams,
         s2, out = jax.vmap(lambda ss, aa: env_mod.step(ss, aa, p, statics))(s, actions)
         return (s2, out.obs), (out, aux)
 
-    keys = (
-        jax.random.split(key, steps)
-        if key is not None
-        else jnp.zeros((steps, 2), jnp.uint32)
-    )
+    # key=None still hands policy_fn DISTINCT per-step keys (split from a
+    # fixed seed): broadcasting one zero key would silently give a
+    # stochastic policy the identical noise draw at every timestep
+    keys = jax.random.split(
+        key if key is not None else jax.random.PRNGKey(0), steps)
     (final_state, _), ys = jax.lax.scan(body, (state, obs0), keys)
     return final_state, ys

@@ -216,11 +216,17 @@ class GPSuggester:
         """Record a result. cost: trial wall-clock seconds (used only by
         cost_aware acquisition; NaN = unknown)."""
         if not math.isfinite(score):
+            if self._worst_finite is None:
+                # no real score yet: there is no scale to anchor a penalty
+                # to (0.0-1.0 would make a crash the BEST point whenever
+                # the metric runs negative, attracting the GP to the
+                # failing region) — skip the observation; early failures
+                # are covered by the n_init random-exploration phase
+                return
             # learn to avoid the region, finitely: one step below the worst
             # REAL score (penalizing off min(self.y) would ratchet, since
             # self.y already contains prior penalties)
-            score = (self._worst_finite if self._worst_finite is not None
-                     else 0.0) - 1.0
+            score = self._worst_finite - 1.0
         else:
             self._worst_finite = (score if self._worst_finite is None
                                   else min(self._worst_finite, score))
@@ -251,6 +257,9 @@ def _trial_cfg(cfg: Config, point: dict, updates: int, name: str) -> Config:
     c.run.run_name = name
     c.run.checkpoint_interval = 10 ** 9
     c.run.save_final = False
+    # each trial logs under its OWN run dir: an explicit base metrics_path
+    # would make every (possibly concurrent) trial append to one file
+    c.run.metrics_path = ""
     return c
 
 
@@ -326,6 +335,9 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
     keep = float(sweep.get("keep", 0.5))
     suggester_kind = str(sweep.get("suggester", "gp"))
     workers = int(workers if workers is not None else sweep.get("workers", 1))
+    if workers < 1:
+        raise ValueError(f"sweep.workers must be >= 1, got {workers} "
+                         f"(0 would loop forever building empty batches)")
     space = sweep.get("space", {})
     if not space:
         raise ValueError("[sweep.space] is empty — nothing to search")
@@ -358,7 +370,15 @@ def run_sweep(cfg: Config, out_path: str | Path | None = None,
                          f"'random', got {suggester_kind!r}")
 
     def score_of(final) -> float:
-        s = float(final.get(metric, float("-inf"))) if final else float("-inf")
+        if not final:
+            return float("-inf")  # crashed/diverged trial
+        if metric not in final:
+            # a typo'd sweep.metric must error on the FIRST completed trial,
+            # not silently score the whole budget -inf
+            raise KeyError(
+                f"sweep.metric {metric!r} is not in the trial metrics "
+                f"(available: {sorted(final)})")
+        s = float(final[metric])
         return float("-inf") if math.isnan(s) else s
 
     def run_batch(cfgs):
