@@ -249,3 +249,31 @@ def test_compiled_bptt_chunk_guard():
         PAL.traj_lstm_rollout_pallas(state, params, carry, env.params,
                                      env.statics, 32, bptt=4,
                                      interpret=False)
+
+
+def test_lstm_traj_multi_chunk_segments_bitwise():
+    """BPTT segments spanning several time chunks (tc < bptt): the snap
+    anchor block is written only on the segment's first chunk and must
+    survive later chunks' revisits unwritten. Kernel (interpret, tc=2)
+    == mirror bit for bit on anchors, planes, and carry.
+    (tests_tpu has the compiled analogue at tc=8 < bptt=16.)"""
+    env, model, params = _setup()
+    N, T, bptt = 256, 16, 8
+    p = env.params.replace(horizon=jnp.int32(6))
+    carry = model.initial_carry((N,))
+    ref_s, ref_c, ref_traj, ref_seg, ref_stats = jax.jit(
+        lambda s, c, pp, prm: PAL.traj_lstm_rollout_reference(
+            s, prm, c, pp, env.statics, T, bptt=bptt)
+    )(env.init_batch(11, N), carry, p, params)
+    pal_s, pal_c, planes, pal_seg, pal_stats = PAL.traj_lstm_rollout_pallas(
+        env.init_batch(11, N), params, carry, p, env.statics, T, bptt=bptt,
+        lanes_per_block=N, time_chunk=2, interpret=True)
+    pal_traj = _planes_to_traj(planes, N)
+    _assert_traj_bitwise(pal_traj, ref_traj)
+    for k in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(pal_seg[k]).view(np.uint32),
+            np.asarray(ref_seg[k]).view(np.uint32), err_msg=f"seg[{k}]")
+        np.testing.assert_array_equal(
+            np.asarray(pal_c[k]).view(np.uint32),
+            np.asarray(ref_c[k]).view(np.uint32), err_msg=f"carry[{k}]")
