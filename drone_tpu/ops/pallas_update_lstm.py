@@ -16,10 +16,15 @@ Memory plan (the part that makes BPTT fit in ~16 MB of VMEM): storing
 every per-step activation for a 16-step segment at 1024 lanes would need
 >50 MB, so the kernel checkpoints instead of storing — the forward pass
 keeps only the (c, h) carries entering every `sc`-step chunk, and the
-backward pass re-runs each chunk forward (storing its per-step carries)
-then recomputes the gates per step from (c_in, h_in, obs) as it walks
-backward. Cost: ~2 extra forwards; the working set stays at
-(bptt/sc + sc) carry pairs — minimized at sc ~= sqrt(bptt).
+backward pass recomputes each step's entering carry from its chunk
+boundary, then the gates from (c_in, h_in, obs), as it walks backward.
+The per-STEP loops are `lax.fori_loop`s, not Python unrolls: Mosaic
+stack-allocates every live SSA value, and the unrolled bptt=16 body
+needed a 101 MB scoped-VMEM stack (the exact compile failure BENCH_r03
+recorded at 64k envs) — rolled, the live set is one step's activations
+plus the (bptt/sc) boundary pairs, ~12 MB at the production geometry.
+Cost: ~sc/2 extra forward steps per chunk vs storing per-step carries;
+both working-set terms are minimized at sc ~= sqrt(bptt).
 
 All math lives in `_segment_grads` (built on `_lstm_step_fwd` and
 pallas_update's `_head_grads`), shared VERBATIM by the kernel and the
@@ -99,99 +104,96 @@ def _zero_grads(tensors):
     return [jnp.zeros_like(t) for t in tensors]
 
 
-def _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc, dtype):
+def _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt, dtype):
     """Truncated-BPTT forward + hand-written backward for ONE segment.
 
-    planes: (bptt, N_TRAJ, rbu, 128) trajectory tile (kernel-natural
-    layout, straight from the LSTM rollout kernel); ar: (2, bptt, rbu, 128)
-    stacked (normalized advantage, return); c0/h0: (H, L) carry entering
-    the segment (L = rbu * 128); tensors: flat kernel-tensor list WITHOUT
-    the trailing log_std; ls: 4 log_std scalars; sc: checkpoint chunk
-    length (divides bptt). Every op runs identically inside the Mosaic
-    kernel and in the jnp mirror — this function IS the bitwise contract.
+    rp(t) -> the (N_TRAJ, rbu, 128) trajectory tile at segment step t
+    (kernel-natural layout, straight from the LSTM rollout kernel); ra(t)
+    -> the (2, rbu, 128) stacked (normalized advantage, return) at t —
+    reader closures so the SAME function indexes a Mosaic ref in the
+    kernel and a jnp array in the mirror, one dynamic load per step.
+    c0/h0: (H, L) carry entering the segment (L = rbu * 128); tensors:
+    flat kernel-tensor list WITHOUT the trailing log_std; ls: 4 log_std
+    scalars; sc: checkpoint chunk length (divides bptt). Every op runs
+    identically inside the Mosaic kernel and in the jnp mirror — this
+    function IS the bitwise contract.
+
+    The per-step loops are `lax.fori_loop`s (NOT Python unrolls) so the
+    Mosaic stack holds one step's live values, not bptt of them — see the
+    module docstring's memory plan.
 
     Returns (grad list matching `tensors` order, stat planes tuple of
     N_UPSTATS (rbu, 128) arrays).
     """
-    bptt, rbu = planes.shape[0], planes.shape[2]
-    L = rbu * 128
+    H, L = c0.shape
+    rbu = L // 128
     shape = (rbu, 128)
     n_enc = (len(tensors) - _N_LSTM_FIXED) // 2
     enc, wi, wh, bh, head, vhead = _unflatten(tensors, n_enc)
     head_w, head_b = head
     vh_w, vh_b = vhead
-
-    def obs_X(t):
-        return planes[t, TP_OBS0:TP_OBS0 + OBS_DIM].reshape(OBS_DIM, L)
-
-    def keep_of(t):
-        return (1.0 - planes[t, TP_DONE]).reshape(1, L)
-
-    def fwd(c, h, t):
-        return _lstm_step_fwd(obs_X(t), c, h, enc, wi, wh, bh, dtype)
-
-    # -- pass A: forward, keeping only chunk-boundary carries. The loop
-    # stops at the LAST boundary (t = bptt - sc): pass B re-forwards every
-    # chunk from `bounds`, so the final chunk's pass-A steps would be dead
-    # MXU work (at sc == bptt, pass A is empty — the anchor is the only
-    # boundary) -----------------------------------------------------------
     n_ck = bptt // sc
-    bounds = [(c0, h0)]
-    c, h = c0, h0
-    for t in range(bptt - sc):
-        *_, c2, th, h2 = fwd(c, h, t)
-        keep = keep_of(t)
-        c, h = c2 * keep, h2 * keep
-        if (t + 1) % sc == 0:
-            bounds.append((c, h))
+    o = 2 * n_enc  # grad-list offset of the gate tensors
 
-    # -- pass B: chunks in reverse; re-forward each, then backward ----------
-    genc = _zero_grads([m for wb in enc for m in wb])
-    gwi = _zero_grads(wi)
-    gwh = _zero_grads(wh)
-    gbh = _zero_grads(bh)
-    ghw = jnp.zeros_like(head_w)
-    ghb = jnp.zeros_like(head_b)
-    gvw = jnp.zeros_like(vh_w)
-    gvb = jnp.zeros_like(vh_b)
-    st_acc = None
-    dh_nxt = jnp.zeros((c0.shape[0], L), jnp.float32)
-    dc_nxt = jnp.zeros((c0.shape[0], L), jnp.float32)
+    def fwd(pt, c, h):
+        """One forward step from the trajectory tile pt = rp(t)."""
+        X = pt[TP_OBS0:TP_OBS0 + OBS_DIM].reshape(OBS_DIM, L)
+        acts, gi, gf, gg, go, c2, th, h2 = _lstm_step_fwd(
+            X, c, h, enc, wi, wh, bh, dtype)
+        keep = (1.0 - pt[TP_DONE]).reshape(1, L)
+        return acts, gi, gf, gg, go, c2, th, h2, keep
+
+    def fwd_carry(t, ch):
+        c, h = ch
+        *_, c2, th, h2, keep = fwd(rp(t), c, h)
+        return c2 * keep, h2 * keep
+
+    # -- pass A: forward, keeping only chunk-boundary carries (at
+    # sc == bptt pass A is empty — the anchor is the only boundary) --------
+    bounds = [(c0, h0)]
+    ch = (c0, h0)
+    for ck in range(n_ck - 1):
+        ch = jax.lax.fori_loop(ck * sc, (ck + 1) * sc, fwd_carry, ch)
+        bounds.append(ch)
+
+    # -- pass B: chunks in reverse (Python — n_ck is small and each chunk
+    # anchors a different boundary value); steps within a chunk in a
+    # reverse fori_loop, each step's entering carry recomputed from the
+    # chunk boundary (a dynamic-bound fori_loop of < sc steps) ------------
+    grads0 = tuple(jnp.zeros_like(t) for t in tensors)
+    st0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(N_UPSTATS))
+    dzero = jnp.zeros((H, L), jnp.float32)
+    carry = (grads0, dzero, dzero, st0)
 
     for ck in range(n_ck - 1, -1, -1):
-        c, h = bounds[ck]
-        carries = []
-        for i in range(sc):
-            t = ck * sc + i
-            carries.append((c, h))
-            *_, c2, th, h2 = fwd(c, h, t)
-            keep = keep_of(t)
-            c, h = c2 * keep, h2 * keep
+        boundary = bounds[ck]
 
-        for i in range(sc - 1, -1, -1):
+        def bwd_body(j, carry, ck=ck, boundary=boundary):
+            grads, dh_nxt, dc_nxt, st_acc = carry
+            i = sc - 1 - j
             t = ck * sc + i
-            c_in, h_in = carries[i]
-            acts, gi, gf, gg, go, c2, th, h2 = fwd(c_in, h_in, t)
-            keep = keep_of(t)
+            c_in, h_in = jax.lax.fori_loop(ck * sc, t, fwd_carry, boundary)
+            pt = rp(t)
+            acts, gi, gf, gg, go, c2, th, h2, keep = fwd(pt, c_in, h_in)
             x = acts[-1]
+            g = list(grads)
 
             # heads + PPO surrogate gradient (shared with the MLP kernel)
             mx = _dot32(head_w, h2, dtype) + head_b
             vx = _dot32(vh_w, h2, dtype) + vh_b
             m = [mx[k].reshape(shape) for k in range(4)]
             v = vx[0].reshape(shape)
-            a = [planes[t, TP_ACT0 + k] for k in range(4)]
-            dm, g_v, st = _head_grads(m, v, a, planes[t, TP_LOGP],
-                                      planes[t, TP_VAL], ar[0, t], ar[1, t],
-                                      ls, co)
-            st_acc = (st if st_acc is None
-                      else tuple(sa + sv for sa, sv in zip(st_acc, st)))
+            a = [pt[TP_ACT0 + k] for k in range(4)]
+            art = ra(t)
+            dm, g_v, st = _head_grads(m, v, a, pt[TP_LOGP], pt[TP_VAL],
+                                      art[0], art[1], ls, co)
+            st_acc = tuple(sa + sv for sa, sv in zip(st_acc, st))
             dmx = jnp.stack(dm).reshape(4, L)
             dvx = g_v.reshape(1, L)
-            ghw = ghw + _dot32(dmx, h2.T, dtype)
-            ghb = ghb + jnp.sum(dmx, axis=1, keepdims=True)
-            gvw = gvw + _dot32(dvx, h2.T, dtype)
-            gvb = gvb + jnp.sum(dvx, axis=1, keepdims=True)
+            g[o + 12] = g[o + 12] + _dot32(dmx, h2.T, dtype)
+            g[o + 13] = g[o + 13] + jnp.sum(dmx, axis=1, keepdims=True)
+            g[o + 14] = g[o + 14] + _dot32(dvx, h2.T, dtype)
+            g[o + 15] = g[o + 15] + jnp.sum(dvx, axis=1, keepdims=True)
 
             # backprop through the LSTM cell. The carry leaving step t was
             # masked by keep(t) before entering step t+1, so the incoming
@@ -208,12 +210,13 @@ def _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc, dtype):
                   dgg * (1.0 - gg * gg), dgo * (go * (1.0 - go)))
             dh_nxt = None
             dx = None
-            for g in range(4):
-                gwi[g] = gwi[g] + _dot32(dz[g], x.T, dtype)
-                gwh[g] = gwh[g] + _dot32(dz[g], h_in.T, dtype)
-                gbh[g] = gbh[g] + jnp.sum(dz[g], axis=1, keepdims=True)
-                hterm = _dot32(wh[g].T, dz[g], dtype)
-                xterm = _dot32(wi[g].T, dz[g], dtype)
+            for k in range(4):
+                g[o + k] = g[o + k] + _dot32(dz[k], x.T, dtype)
+                g[o + 4 + k] = g[o + 4 + k] + _dot32(dz[k], h_in.T, dtype)
+                g[o + 8 + k] = g[o + 8 + k] + jnp.sum(dz[k], axis=1,
+                                                      keepdims=True)
+                hterm = _dot32(wh[k].T, dz[k], dtype)
+                xterm = _dot32(wi[k].T, dz[k], dtype)
                 dh_nxt = hterm if dh_nxt is None else dh_nxt + hterm
                 dx = xterm if dx is None else dx + xterm
 
@@ -221,18 +224,21 @@ def _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc, dtype):
             for li in range(n_enc - 1, -1, -1):
                 y = acts[li + 1]
                 dpre = dx * (1.0 - y * y)
-                genc[2 * li] = genc[2 * li] + _dot32(dpre, acts[li].T, dtype)
-                genc[2 * li + 1] = genc[2 * li + 1] + jnp.sum(
-                    dpre, axis=1, keepdims=True)
+                g[2 * li] = g[2 * li] + _dot32(dpre, acts[li].T, dtype)
+                g[2 * li + 1] = g[2 * li + 1] + jnp.sum(dpre, axis=1,
+                                                        keepdims=True)
                 if li > 0:
                     dx = _dot32(enc[li][0].T, dpre, dtype)
+            return tuple(g), dh_nxt, dc_nxt, st_acc
+
+        carry = jax.lax.fori_loop(0, sc, bwd_body, carry)
         # dh_nxt/dc_nxt now hold d(carry entering this chunk) and flow into
         # the previous chunk's last step; at ck == 0 they are discarded —
         # the segment anchor is stored data, not a function of params
         # (truncation).
 
-    grads = genc + gwi + gwh + gbh + [ghw, ghb, gvw, gvb]
-    return grads, st_acc
+    grads, _, _, st_acc = carry
+    return list(grads), st_acc
 
 
 def _lstm_update_kernel(perm_ref, pl_ref, ar_ref, snap_ref, ls_ref, *refs,
@@ -253,17 +259,20 @@ def _lstm_update_kernel(perm_ref, pl_ref, ar_ref, snap_ref, ls_ref, *refs,
             r[:] = jnp.zeros_like(r)
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
-    planes = pl_ref[:, :, 0]        # (bptt, N_TRAJ, 1, rbu, 128) -> drop n_rb
-    ar = ar_ref[:, :, 0]            # (2, bptt, 1, rbu, 128) -> drop n_rb
+    bptt = pl_ref.shape[0]
     hidden = snap_ref.shape[1] // 2
-    rbu = planes.shape[2]
+    rbu = pl_ref.shape[3]
     L = rbu * 128
+    # per-step readers: one dynamic VMEM load per step, dropping the n_rb
+    # block axis ((bptt, N_TRAJ, 1, rbu, 128) tiles)
+    rp = lambda t: pl_ref[t, :, 0]
+    ra = lambda t: ar_ref[:, t, 0]
     # snap block is (1, 2H, 1, rbu, 128): the (2, H) pair flattened into one
     # axis to keep every BlockSpec at rank <= 5 (the rank the rest of the
     # Mosaic surface is proven at); static slices split it back
     c0 = snap_ref[0, :hidden, 0].reshape(hidden, L)
     h0 = snap_ref[0, hidden:, 0].reshape(hidden, L)
-    grads, stats = _segment_grads(planes, ar, c0, h0, tensors, ls, co, sc,
+    grads, stats = _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt,
                                   compute_dtype)
     for r, val in zip(g_refs, grads):
         r[:] += val
@@ -339,6 +348,13 @@ def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
             *[jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tensors],
             jax.ShapeDtypeStruct((N_UPSTATS, rbu, 128), jnp.float32),
         ),
+        # the BPTT working set (chunk-boundary carries + one step's live
+        # activations + grad accumulators) measures ~19 MB of Mosaic stack
+        # at the production geometry (bptt=16, rbu=8, H=128) — over XLA's
+        # conservative 16 MB default scoped-vmem limit but far under the
+        # chip's physical VMEM; 64 MB also covers the bptt=32 envelope
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(perm_mb, planes, advret, snap, log_std, *tensors)
     grads, stats = list(outs[:-1]), outs[-1]
@@ -369,14 +385,16 @@ def ppo_lstm_update_reference(planes, advret, snap, perm_mb, tensors,
         rb = perm_mb[g]
         blk = jax.lax.dynamic_slice(
             planes, (s * bptt, 0, rb * rbu, 0), (bptt, N_TRAJ, rbu, 128))
-        ar = jax.lax.dynamic_slice(
+        arb = jax.lax.dynamic_slice(
             advret, (0, s * bptt, rb * rbu, 0), (2, bptt, rbu, 128))
         anchor = jax.lax.dynamic_slice(
             snap, (s, 0, 0, rb * L), (1, 2, hidden, L))
         c0 = anchor[0, 0]
         h0 = anchor[0, 1]
-        grads, stats = _segment_grads(blk, ar, c0, h0, tensors, ls, co, sc,
-                                      jnp.dtype(compute_dtype).type)
+        rp = lambda t: jax.lax.dynamic_index_in_dim(blk, t, 0, keepdims=False)
+        ra = lambda t: jax.lax.dynamic_index_in_dim(arb, t, 1, keepdims=False)
+        grads, stats = _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc,
+                                      bptt, jnp.dtype(compute_dtype).type)
         g_acc = [a + g_ for a, g_ in zip(g_acc, grads)]
         st_acc = st_acc + jnp.stack(stats)
         return (g_acc, st_acc), None

@@ -91,8 +91,14 @@ def test_lstm_update_kernel_bitwise_vs_mirror():
 
 
 def test_lstm_update_sc_invariance():
-    """The checkpoint chunk length sc is a pure memory-plan knob: grads are
-    identical (same expressions, same accumulation order) for any sc."""
+    """The checkpoint chunk length sc is a pure memory-plan knob: the same
+    expressions in the same accumulation order for any sc. Agreement is
+    ulp-level, not bitwise: the per-step loops are lax.fori_loops (the VMEM
+    memory plan), and XLA may lower the tiny (1, L) head matvec's reduction
+    differently across the sc variants' loop structures (observed: sc=1's
+    statically-zero-trip prefix loop folds away, shifting the critic-head
+    grad by ~4 ulp). The bitwise contract that matters — kernel == mirror
+    at each sc — is test_lstm_update_kernel_bitwise_vs_mirror."""
     env, model, params = _setup(hidden=8, encoder=(8,))
     N, T, bptt = 128, 4, 4
     planes, advret, snap, _, _ = _rollout_data(env, model, params, N, T, bptt)
@@ -107,10 +113,10 @@ def test_lstm_update_sc_invariance():
                                  tensors[-1], bptt=bptt, co=co, rbu=1, sc=4,
                                  mode="reference")
     for a, b in zip(g1, g4):
-        np.testing.assert_array_equal(np.asarray(a).view(np.uint32),
-                                      np.asarray(b).view(np.uint32))
-    np.testing.assert_array_equal(np.asarray(s1).view(np.uint32),
-                                  np.asarray(s4).view(np.uint32))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s4),
+                               rtol=1e-6, atol=0)
 
 
 def test_lstm_update_grads_match_jax_grad():
