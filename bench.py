@@ -205,6 +205,85 @@ def bench_train_scan(env, N=65536, T=128, iters=4):
     return N * T * iters / (time.perf_counter() - t0)
 
 
+def bench_train_rnn_scan(env, N=65536, T=128, bptt=16, iters=2):
+    """XLA scan recurrent PPO train step (ppo_rnn, segmented_forward BPTT)
+    at the same shape as bench_train_rnn_pallas — the recurrent
+    megakernel's denominator, emitted so the ratio is machine-checkable."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_rnn
+    from drone_tpu.models import LSTMActorCritic
+
+    model = LSTMActorCritic()
+    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                            num_minibatches=4, bptt_horizon=bptt)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+    step = jax.jit(ppo_rnn.make_recurrent_train_step(
+        model.apply, opt, env.params, env.statics, cfg))
+    runner, m = step(runner)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        runner, m = step(runner)
+    float(m["loss"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
+def bench_train_cnn_pallas(env, N=65536, T=128, iters=3):
+    """Fully-fused CNN (pixel) PPO train step (ppo_cnn_pallas: on-device
+    render + patch-conv rollout kernel + GAE + conv fwd+bwd update kernel +
+    fused adam) — the third policy family at kernel speed. The XLA scan
+    trainer cannot run this shape at all: materializing the conv
+    activations for 64k x 128 samples needs ~77 GB of HBM (measured: it
+    OOMs 16 GB at 16k envs), while the kernels rematerialize pixels from
+    the 13-float obs in VMEM."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_cnn_pallas as PCP
+    from drone_tpu.models import PatchCNNActorCritic
+
+    model = PatchCNNActorCritic()
+    geom = PCP.cnn_geom(model)
+    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                            num_minibatches=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=PCP.init_fused_opt_state(runner.params, geom))
+    step = jax.jit(PCP.make_pallas_cnn_train_step(
+        opt, env.params, env.statics, cfg, geom=geom, fused_optimizer=True))
+    runner, m = step(runner)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        runner, m = step(runner)
+    float(m["loss"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
+def bench_train_cnn_scan(env, N=4096, T=128, iters=3):
+    """XLA scan PPO train step with the SAME PatchCNNActorCritic policy —
+    the CNN megakernel's denominator. N=4096 is the largest batch the scan
+    trainer fits on this chip (conv activations materialize to HBM; 16k
+    envs allocate 19.3 GB > 16 GB)."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu.models import PatchCNNActorCritic
+
+    model = PatchCNNActorCritic()
+    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                            num_minibatches=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    step = jax.jit(ppo_mod.make_train_step(
+        model.apply, opt, env.params, env.statics, cfg))
+    runner, m = step(runner)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        runner, m = step(runner)
+    float(m["loss"])  # hard sync
+    return N * T * iters / (time.perf_counter() - t0)
+
+
 def bench_train_rnn_pallas(env, N=65536, T=128, bptt=16, iters=4):
     """Fully-fused RECURRENT PPO train step (ppo_rnn_pallas: LSTM rollout
     kernel + GAE + truncated-BPTT update kernel + fused adam) — the
@@ -264,6 +343,12 @@ def main(cfg=None):
             ("train_sps_262k", lambda: bench_train_pallas(env, N=262144)),
             ("lstm_train_sps_64k",
              lambda: bench_train_rnn_pallas(env, N=65536)),
+            ("scan_lstm_train_sps_64k",
+             lambda: bench_train_rnn_scan(env, N=65536)),
+            ("cnn_train_sps_64k",
+             lambda: bench_train_cnn_pallas(env, N=65536)),
+            ("scan_cnn_train_sps_4k",
+             lambda: bench_train_cnn_scan(env, N=4096)),
         ):
             try:
                 secondary[key] = round(fn(), 1)

@@ -57,6 +57,68 @@ class CNNActorCritic(nn.Module):
         return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]
 
 
+class PatchCNNActorCritic(nn.Module):
+    """13-vector obs -> on-device pixel render -> PATCH-conv actor-critic:
+    the CNN policy family's megakernel-trainable configuration.
+
+    TPU-first architecture choice: both convolutions are NON-OVERLAPPING
+    (kernel == stride — conv0 4x4/4, conv1 2x2/2, both VALID), so im2col
+    and its transpose are pure static row reorderings and the whole network
+    is dense MXU matmuls — the Pallas rollout/update kernels
+    (ops/pallas_acting_cnn.py, ops/pallas_update_cnn.py) evaluate and
+    backprop it in VMEM with zero gather/strided-window traffic, and the
+    trainer stores only the 13-float obs (pixels are rematerialized
+    in-kernel — 9 KB/sample of HBM trajectory traffic avoided). Patch
+    embeddings are the standard TPU idiom for conv front ends (ViT); the
+    overlap the reference's Nature-CNN strides carry buys nothing on a
+    synthetic splat image. The generic CNNActorCritic above remains for
+    arbitrary overlapping-conv image policies on the scan trainer.
+
+    Trunk is shared by the actor and critic heads (as the reference's CNN
+    policies share their encoder — SURVEY.md §2.2 #10)."""
+
+    act_dim: int = 4
+    res: int = 24
+    patch0: int = 4
+    patch1: int = 2
+    channels: Sequence[int] = (64, 64)
+    hidden: int = 128
+    log_std_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs):
+        from drone_tpu.pixels import obs_to_pixels
+
+        assert self.res % (self.patch0 * self.patch1) == 0, (
+            self.res, self.patch0, self.patch1)
+        img = obs_to_pixels(jnp.asarray(obs, jnp.float32), self.res)
+        x = nn.relu(nn.Conv(self.channels[0],
+                            (self.patch0, self.patch0),
+                            strides=(self.patch0, self.patch0),
+                            padding="VALID", name="conv0")(img))
+        x = nn.relu(nn.Conv(self.channels[1],
+                            (self.patch1, self.patch1),
+                            strides=(self.patch1, self.patch1),
+                            padding="VALID", name="conv1")(x))
+        x = x.reshape((*x.shape[:-3], -1))
+        x = nn.relu(nn.Dense(self.hidden, name="trunk")(x))
+        mean = nn.Dense(
+            self.act_dim,
+            kernel_init=nn.initializers.orthogonal(0.01),
+            name="actor_mean",
+        )(x)
+        log_std = self.param(
+            "log_std",
+            nn.initializers.constant(self.log_std_init),
+            (self.act_dim,),
+        )
+        value = nn.Dense(
+            1, kernel_init=nn.initializers.orthogonal(1.0),
+            name="critic_value",
+        )(x)
+        return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]
+
+
 class PixelActorCritic(nn.Module):
     """13-vector obs -> on-device pixel render -> CNN actor-critic.
 

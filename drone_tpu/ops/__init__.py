@@ -22,6 +22,10 @@ from drone_tpu.ops.pallas_acting_lstm import (  # noqa: F401
     traj_lstm_rollout_pallas,
     traj_lstm_rollout_reference,
 )
+from drone_tpu.ops.pallas_acting_cnn import (  # noqa: F401
+    traj_cnn_rollout_pallas,
+    traj_cnn_rollout_reference,
+)
 from drone_tpu.ops.sharded import (  # noqa: F401
     sharded_act_rollout_pallas,
     sharded_rollout_pallas,

@@ -36,6 +36,8 @@ def make_sharded_train_step(
     interpret: bool = False,
     fused_optimizer: bool = True,
     compute_dtype: str = "float32",
+    policy: str = "mlp",
+    cnn_geom=None,
 ):
     """Returns jitted train_step(runner) -> (runner, metrics) over `mesh`.
 
@@ -98,6 +100,16 @@ def make_sharded_train_step(
             apply_fn, optimizer, env_params, statics, cfg,
             axis_name=axis, envs_per_device=per_dev,
             rollout="pallas", rollout_interpret=interpret,
+        )
+    elif trainer == "pallas" and policy == "cnn":
+        # CNN megakernel trainer sharded like the MLP one: render+conv
+        # rollout/update kernels per device, grads pmean'd per SGD step
+        from drone_tpu import ppo_cnn_pallas
+
+        inner = ppo_cnn_pallas.make_pallas_cnn_train_step(
+            optimizer, env_params, statics, cfg, geom=cnn_geom,
+            axis_name=axis, envs_per_device=per_dev, interpret=interpret,
+            fused_optimizer=fused_optimizer, compute_dtype=compute_dtype,
         )
     elif trainer == "pallas":
         from drone_tpu import ppo_pallas

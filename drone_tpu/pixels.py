@@ -63,9 +63,12 @@ def _splat(u, amp, res, sigma=0.18):
     return amp[..., None, None] * jnp.exp(-d2 / (2.0 * sigma * sigma))
 
 
-def obs_to_pixels(obs, res: int = 24):
-    """(..., OBS_DIM) observation vectors -> (..., res, res, 4) images."""
-    assert obs.shape[-1] == OBS_DIM, obs.shape
+def splat_inputs(obs):
+    """(..., OBS_DIM) obs -> per-channel splat parameters
+    ((u0, u1, amp) per channel, each (...,)) — the 12 scalars obs_to_pixels
+    renders from. Shared by the image renderer and the CNN megakernel's
+    in-kernel rematerializer (ops/pallas_acting_cnn.py), so both paths
+    compute the SAME splat parameters from the same expressions."""
     rel = obs[..., 0:3]
     quat = obs[..., 3:7]
     vel = obs[..., 7:10]
@@ -83,10 +86,42 @@ def obs_to_pixels(obs, res: int = 24):
     u_t, d_t = dir2(rel_b)
     u_v, d_v = dir2(vel_b)
     u_w, d_w = dir2(omega)           # omega is already body-frame rates
-    chans = [
-        _splat(u_t, 1.0 / (1.0 + d_t), res),
-        _splat(up_b[..., :2], 0.5 + 0.5 * up_b[..., 2], res),
-        _splat(u_v, d_v / (1.0 + d_v), res),
-        _splat(u_w, d_w / (1.0 + d_w), res),
-    ]
+    return (
+        (u_t[..., 0], u_t[..., 1], 1.0 / (1.0 + d_t)),
+        (up_b[..., 0], up_b[..., 1], 0.5 + 0.5 * up_b[..., 2]),
+        (u_v[..., 0], u_v[..., 1], d_v / (1.0 + d_v)),
+        (u_w[..., 0], u_w[..., 1], d_w / (1.0 + d_w)),
+    )
+
+
+def patch_grid(res: int, patch: int):
+    """Pixel-coordinate columns for the CNN megakernel's patch-major row
+    order: returns (gx, gy), each (res*res, 1) float32, where row
+    r = q * patch^2 + s holds the coordinates of within-patch offset
+    s = di*patch + dj of patch q = qi*(res//patch) + qj (pixel
+    i = qi*patch + di, j = qj*patch + dj) — patch q's pixels are the
+    contiguous row block [q*patch^2, (q+1)*patch^2). Values are gathered
+    from the SAME jnp.linspace obs_to_pixels uses, so a pixel's
+    coordinates are bitwise identical in both layouts."""
+    import numpy as np
+
+    g = res // patch
+    lin = jnp.linspace(-1.0, 1.0, res)
+    s = np.arange(patch * patch)
+    q = np.arange(g * g)
+    di, dj = s // patch, s % patch
+    qi, qj = q // g, q % g
+    i = (qi[:, None] * patch + di[None, :]).reshape(-1)   # r = q*patch^2 + s
+    j = (qj[:, None] * patch + dj[None, :]).reshape(-1)
+    # _splat's d2 uses gx along the row axis's second coordinate u[...,0]
+    # with gx = lin[None, :] (x varies along axis -1 = j) and gy along i
+    return (lin[jnp.asarray(j)].reshape(-1, 1),
+            lin[jnp.asarray(i)].reshape(-1, 1))
+
+
+def obs_to_pixels(obs, res: int = 24):
+    """(..., OBS_DIM) observation vectors -> (..., res, res, 4) images."""
+    assert obs.shape[-1] == OBS_DIM, obs.shape
+    chans = [_splat(jnp.stack([u0, u1], axis=-1), amp, res)
+             for u0, u1, amp in splat_inputs(obs)]
     return jnp.stack(chans, axis=-1)

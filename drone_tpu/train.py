@@ -45,14 +45,22 @@ def build_env_and_model(cfg: Config):
                  "bfloat16": jnp.bfloat16}[cfg.run.compute_dtype]
         model = ActorCritic(hidden=tuple(cfg.run.hidden), dtype=dtype)
     elif cfg.run.policy == "cnn":
-        # pixel pipeline: obs -> on-device render -> CNN (models/cnn.py);
-        # same trainer — the renderer lives inside the module
+        # pixel pipeline: obs -> on-device render -> patch-conv CNN
+        # (models/cnn.py PatchCNNActorCritic) — the megakernel-trainable
+        # configuration; the renderer lives inside the module
+        from drone_tpu.models import PatchCNNActorCritic
+
+        model = PatchCNNActorCritic()
+    elif cfg.run.policy == "cnn_overlap":
+        # the overlapping-stride pixel CNN (scan trainer only — its conv
+        # windows overlap, so it has no megakernel; kept for generic-image
+        # parity with the reference's Nature-CNN-shaped encoders)
         from drone_tpu.models import PixelActorCritic
 
         model = PixelActorCritic()
     else:
-        raise ValueError(f"run.policy must be 'mlp', 'cnn' or 'lstm', got "
-                         f"{cfg.run.policy!r}")
+        raise ValueError(f"run.policy must be 'mlp', 'cnn', 'cnn_overlap' "
+                         f"or 'lstm', got {cfg.run.policy!r}")
     return env, model
 
 
@@ -95,10 +103,11 @@ def build(cfg: Config):
     # interpret mode on CPU accepts any 128-multiple
     lane_mult = 128 if backend == "cpu" else 1024
     rnn_full = False
-    if cfg.run.policy == "mlp":
-        # megakernel PPO trainer: rollout + update + adam kernels. Compiled
-        # runs need 8-row (1024-lane) minibatch tiles on top of the
-        # 1024-aligned lane blocks, hence lane_mult * num_minibatches.
+    if cfg.run.policy in ("mlp", "cnn"):
+        # megakernel PPO trainers (MLP: ppo_pallas; patch-CNN:
+        # ppo_cnn_pallas — same feedforward geometry). Compiled runs need
+        # 8-row (1024-lane) minibatch tiles on top of the 1024-aligned
+        # lane blocks, hence lane_mult * num_minibatches.
         eligible = local_envs % (lane_mult * cfg.train.num_minibatches) == 0
     elif recurrent:
         from drone_tpu.ops import pallas_update_lstm as _PUL
@@ -146,10 +155,16 @@ def build(cfg: Config):
                          f"got {cfg.run.rollout!r}")
 
     if use_mesh:
-        from drone_tpu import ppo_pallas, ppo_rnn_pallas
+        from drone_tpu import ppo_cnn_pallas, ppo_pallas, ppo_rnn_pallas
 
         mesh = make_mesh()
-        if use_pallas and not recurrent:
+        geom = (ppo_cnn_pallas.cnn_geom(model)
+                if cfg.run.policy == "cnn" else None)
+        if use_pallas and cfg.run.policy == "cnn":
+            runner = runner.replace(
+                opt_state=ppo_cnn_pallas.init_fused_opt_state(runner.params,
+                                                              geom))
+        elif use_pallas and not recurrent:
             runner = runner.replace(
                 opt_state=ppo_pallas.init_fused_opt_state(runner.params))
         elif use_pallas and rnn_full:
@@ -167,6 +182,7 @@ def build(cfg: Config):
             example_runner=runner, recurrent=recurrent, trainer=trainer,
             interpret=backend == "cpu",
             compute_dtype=cfg.run.compute_dtype,
+            policy=cfg.run.policy, cnn_geom=geom,
         )
     elif use_pallas and recurrent and rnn_full:
         from drone_tpu import ppo_rnn_pallas
@@ -191,6 +207,18 @@ def build(cfg: Config):
         step = jax.jit(ppo_rnn.make_recurrent_train_step(
             model.apply, opt, env.params, env.statics, cfg.train,
             rollout="pallas", rollout_interpret=backend == "cpu"))
+    elif use_pallas and cfg.run.policy == "cnn":
+        from drone_tpu import ppo_cnn_pallas
+
+        mesh = None
+        geom = ppo_cnn_pallas.cnn_geom(model)
+        runner = runner.replace(
+            opt_state=ppo_cnn_pallas.init_fused_opt_state(runner.params,
+                                                          geom))
+        step = jax.jit(ppo_cnn_pallas.make_pallas_cnn_train_step(
+            opt, env.params, env.statics, cfg.train, geom=geom,
+            interpret=backend == "cpu",
+            compute_dtype=cfg.run.compute_dtype, fused_optimizer=True))
     elif use_pallas:
         from drone_tpu import ppo_pallas
 
@@ -224,6 +252,10 @@ def _restore_any_trainer(restorer, runner, opt, cfg):
 
     if cfg.run.policy == "lstm":
         from drone_tpu import ppo_rnn_pallas as conv_mod
+    elif cfg.run.policy == "cnn":
+        # PatchCNNActorCritic's fused layout (default geometry — the model
+        # build_env_and_model constructs)
+        from drone_tpu import ppo_cnn_pallas as conv_mod
     else:
         conv_mod = ppo_pallas
 

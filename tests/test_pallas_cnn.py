@@ -1,0 +1,296 @@
+"""CNN megakernel tests (ops/pallas_acting_cnn.py, ops/pallas_update_cnn.py,
+ppo_cnn_pallas.py).
+
+Contract mirrors tests/test_pallas_traj.py + test_pallas_update.py for the
+third policy family: in interpret mode on the CPU backend the CNN rollout
+kernel is BITWISE-equal to its jnp mirror (trajectory planes; stats are
+int-exact / reduction-order-close), the CNN update kernel is bitwise-equal
+to its mirror (gradients and stat sums, shuffled row-block minibatches),
+the hand-written conv backprop matches jax.grad of the equivalent
+plane-space PPO loss, and the full CNN megakernel train step (rollout
+kernel + GAE + update kernel + fused adam) is bitwise-equal to its
+reference mode and learns. The render path is pinned against flax
+separately (cnn_forward vs PatchCNNActorCritic.apply).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import drone_tpu
+from drone_tpu import pixels
+from drone_tpu import ppo as ppo_mod
+from drone_tpu import ppo_cnn_pallas as PCP
+from drone_tpu.models import PatchCNNActorCritic
+from drone_tpu.ops import pallas_acting_cnn as PAC
+from drone_tpu.ops import pallas_acting_traj as PAT
+from drone_tpu.ops import pallas_update as PU
+from drone_tpu.ops import pallas_update_cnn as PUC
+from drone_tpu.ops.pallas_acting_traj import TP_DONE, TP_REW, TP_VAL, N_TRAJ
+
+
+def _setup(res=8, p0=2, p1=2, channels=(8, 8), hidden=16, seed=0):
+    env = drone_tpu.DroneEnv()
+    model = PatchCNNActorCritic(res=res, patch0=p0, patch1=p1,
+                                channels=channels, hidden=hidden)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 13), jnp.float32))
+    return env, model, params, PCP.cnn_geom(model)
+
+
+def _assert_stats_close(stats_k, stats_r):
+    """Kernel stats accumulate per lane block in plane space, the mirror
+    reduces the whole trajectory at once — integer-valued stats are exact,
+    float sums agree to reduction order."""
+    for k in ("episodes", "ep_length_sum"):
+        assert float(stats_k[k]) == float(stats_r[k]), k
+    for k in ("reward_sum", "ep_return_sum", "ep_return_sq_sum"):
+        a, b = float(stats_k[k]), float(stats_r[k])
+        assert abs(a - b) <= 1e-5 * max(1.0, abs(b)), (k, a, b)
+
+
+def _rollout_data(env, model, params, geom, N, T, seed=3, ep_horizon=6):
+    """Reference-rollout training planes + normalized advret (shared GAE)."""
+    p = env.params.replace(horizon=jnp.int32(ep_horizon))
+    state = env.init_batch(seed, N)
+    final, traj, _ = jax.jit(
+        lambda s, pp, prm: PAC.traj_cnn_rollout_reference(
+            s, prm, pp, env.statics, T, geom=geom)
+    )(state, p, params)
+    rows = N // 128
+    planes = PAT.pack_traj_planes(traj, rows)
+    gx, gy = pixels.patch_grid(geom.res, geom.p0)
+    w = PAC.cnn_all_weights(params, geom)
+    last_obs = env.observe_batch(final)
+    _, lv = PAC.cnn_forward(last_obs.T, w, gx, gy, geom, jnp.float32)
+    adv, ret = ppo_mod.compute_gae(
+        planes[:, TP_REW], planes[:, TP_VAL], planes[:, TP_DONE],
+        lv[0].reshape(rows, 128), 0.99, 0.95)
+    adv = (adv - jnp.mean(adv)) / jnp.sqrt(jnp.var(adv) + 1e-8)
+    return planes, jnp.stack([adv, ret]), gx, gy
+
+
+def test_patch_grid_is_a_pixel_permutation():
+    """patch_grid's (s within q) row order covers every pixel exactly once
+    with the SAME linspace coordinates obs_to_pixels uses."""
+    res, patch = 8, 2
+    gx, gy = pixels.patch_grid(res, patch)
+    lin = np.asarray(jnp.linspace(-1.0, 1.0, res))
+    coords = {(float(a), float(b)) for a, b in zip(np.asarray(gx)[:, 0],
+                                                   np.asarray(gy)[:, 0])}
+    full = {(float(lin[j]), float(lin[i]))
+            for i in range(res) for j in range(res)}
+    assert coords == full
+    # patch 0's rows are pixels (0..1, 0..1) — the contiguous leading block
+    g0 = np.asarray(gx)[:patch * patch, 0]
+    assert set(np.round(g0, 6)) == set(np.round(lin[:patch], 6))
+
+
+def test_cnn_forward_matches_flax():
+    """Plane-space cnn_forward == PatchCNNActorCritic.apply to float
+    precision (different matmul/reduction orders: conv vs im2col)."""
+    env, model, params, geom = _setup()
+    obs = jax.random.normal(jax.random.PRNGKey(1), (256, 13), jnp.float32)
+    m_f, _, v_f = model.apply(params, obs)
+    gx, gy = pixels.patch_grid(geom.res, geom.p0)
+    w = PAC.cnn_all_weights(params, geom)
+    m_k, v_k = PAC.cnn_forward(obs.T, w, gx, gy, geom, jnp.float32)
+    np.testing.assert_allclose(np.asarray(m_k.T), np.asarray(m_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_k[0]), np.asarray(v_f),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cnn_traj_kernel_bitwise_vs_mirror():
+    """Rollout kernel (interpret) == jnp mirror: trajectory planes bit for
+    bit, episode stats int-exact."""
+    env, model, params, geom = _setup()
+    N, T = 256, 8
+    p = env.params.replace(horizon=jnp.int32(6))
+    fk, planes_k, stats_k = jax.jit(
+        lambda s, pp, prm: PAC.traj_cnn_rollout_pallas(
+            s, prm, pp, env.statics, T, geom=geom, interpret=True,
+            lanes_per_block=N)
+    )(env.init_batch(3, N), p, params)
+    fr, traj_r, stats_r = jax.jit(
+        lambda s, pp, prm: PAC.traj_cnn_rollout_reference(
+            s, prm, pp, env.statics, T, geom=geom)
+    )(env.init_batch(3, N), p, params)
+    planes_r = PAT.pack_traj_planes(traj_r, N // 128)
+    np.testing.assert_array_equal(
+        np.asarray(planes_k).view(np.uint32),
+        np.asarray(planes_r).view(np.uint32))
+    _assert_stats_close(stats_k, stats_r)
+    np.testing.assert_array_equal(np.asarray(fk.pos), np.asarray(fr.pos))
+
+
+def test_cnn_update_kernel_bitwise_vs_mirror():
+    """Update kernel (interpret) == jnp mirror bit for bit: every weight
+    gradient and the stat sums, with a shuffled multi-block minibatch."""
+    env, model, params, geom = _setup()
+    N, T = 256, 8
+    planes, advret, gx, gy = _rollout_data(env, model, params, geom, N, T)
+    tensors = PCP.cnn_kernel_tensors(params, geom)
+    co = PU.UpdateConsts(clip_eps=0.2, vf_clip=10.0, vf_coef=0.5,
+                         inv_m=1.0 / (N * T))
+    perm = jnp.array([1, 0], jnp.int32)      # both row blocks, shuffled
+    for tc in (1, 2):
+        gk, sk = PUC.ppo_cnn_update(
+            planes, advret, perm, tensors[:-1], tensors[-1], gx, gy,
+            tc=tc, geom=geom, co=co, rbu=1, mode="kernel", interpret=True)
+        gr, sr = PUC.ppo_cnn_update(
+            planes, advret, perm, tensors[:-1], tensors[-1], gx, gy,
+            tc=tc, geom=geom, co=co, rbu=1, mode="reference")
+        for a, b in zip(gk, gr):
+            np.testing.assert_array_equal(np.asarray(a).view(np.uint32),
+                                          np.asarray(b).view(np.uint32))
+        np.testing.assert_array_equal(np.asarray(sk).view(np.uint32),
+                                      np.asarray(sr).view(np.uint32))
+        assert any(float(jnp.linalg.norm(g)) > 0 for g in gk)
+
+
+def test_cnn_handwritten_backprop_matches_autodiff():
+    """The hand-written conv backward == jax.grad of the same plane-space
+    PPO loss built on cnn_forward (full batch: perm = identity)."""
+    env, model, params, geom = _setup()
+    N, T = 256, 4
+    planes, advret, gx, gy = _rollout_data(env, model, params, geom, N, T,
+                                           seed=5)
+    rows = N // 128
+    co = PU.UpdateConsts(clip_eps=0.2, vf_clip=10.0, vf_coef=0.5,
+                         inv_m=1.0 / (N * T))
+    tensors = PCP.cnn_kernel_tensors(params, geom)
+    perm = jnp.arange(rows, dtype=jnp.int32)
+    gk, _ = PUC.ppo_cnn_update(planes, advret, perm, tensors[:-1],
+                               tensors[-1], gx, gy, tc=1, geom=geom, co=co,
+                               rbu=1, mode="reference")
+
+    def loss_fn(tens):
+        S = T * rows * 128
+        flat = planes.transpose(1, 0, 2, 3).reshape(N_TRAJ, S)
+        X = flat[PAT.TP_OBS0:PAT.TP_OBS0 + 13]
+        a = [flat[PAT.TP_ACT0 + k] for k in range(4)]
+        logp_old = flat[PAT.TP_LOGP]
+        v_old = flat[PAT.TP_VAL]
+        advf = advret[0].reshape(S)
+        retf = advret[1].reshape(S)
+        w = (tens[0], tens[1], tens[2], tens[3], tens[4], tens[5],
+             (tens[6], tens[7]), (tens[8], tens[9]), None)
+        ls = tensors[-1]
+        mx, vx = PAC.cnn_forward(X, w, gx, gy, geom, jnp.float32)
+        v = vx[0]
+        lp = None
+        for k in range(4):
+            std_k = jnp.exp(ls[0, k])
+            zk = (a[k] - mx[k]) / std_k
+            term = (jnp.float32(-0.5) * (zk * zk) - ls[0, k]
+                    - jnp.float32(PAT._HALF_LOG_2PI))
+            lp = term if lp is None else lp + term
+        ratio = jnp.exp(lp - logp_old)
+        pg1 = -advf * ratio
+        pg2 = -advf * jnp.clip(ratio, 1.0 - co.clip_eps, 1.0 + co.clip_eps)
+        pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
+        v_clipped = v_old + jnp.clip(v - v_old, -co.vf_clip, co.vf_clip)
+        v_loss = 0.5 * jnp.mean(jnp.maximum((v - retf) ** 2,
+                                            (v_clipped - retf) ** 2))
+        return pg_loss + co.vf_coef * v_loss
+
+    gt = jax.grad(loss_fn)(tuple(tensors[:-1]))
+    for i, (a_, b_) in enumerate(zip(gk, gt)):
+        scale = float(jnp.max(jnp.abs(b_))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-6 + 1e-4 * scale, rtol=0,
+                                   err_msg=f"tensor {i}")
+
+
+def test_cnn_pallas_train_step_kernel_vs_reference():
+    """Full CNN megakernel train step: kernel (interpret) == reference mode
+    bitwise after 3 updates (params and metrics), fused adam included."""
+    env, model, params, geom = _setup()
+    N, T = 256, 8
+    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=2,
+                            num_minibatches=2)
+    opt = ppo_mod.make_optimizer(cfg)
+
+    def run(mode, interpret):
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        runner = runner.replace(
+            opt_state=PCP.init_fused_opt_state(runner.params, geom))
+        step = jax.jit(PCP.make_pallas_cnn_train_step(
+            opt, env.params, env.statics, cfg, geom=geom, mode=mode,
+            interpret=interpret, fused_optimizer=True))
+        ms = []
+        for _ in range(3):
+            runner, m = step(runner)
+            ms.append({k: float(v) for k, v in m.items()})
+        return runner, ms
+
+    rk, mk = run("kernel", True)
+    rr, mr = run("reference", False)
+    # episode counters commute exactly; float episode-stat sums differ only
+    # in reduction order (kernel stat planes vs mirror flat sums — the same
+    # split as test_pallas_traj's stats comparison)
+    for a, b in zip(mk, mr):
+        for k in a:
+            if k == "episodes":
+                assert a[k] == b[k], (k, a[k], b[k])
+            else:
+                np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                           err_msg=k)
+    for x, y in zip(jax.tree_util.tree_leaves(rk.params),
+                    jax.tree_util.tree_leaves(rr.params)):
+        np.testing.assert_array_equal(np.asarray(x).view(np.uint32),
+                                      np.asarray(y).view(np.uint32))
+
+
+def test_cnn_pallas_trainer_learns():
+    """The CNN megakernel trainer actually learns on hover: value loss
+    drops over a short run and every param stays finite (the same gate the
+    scan pixel path has in test_pixels.py)."""
+    env, model, params, geom = _setup(hidden=32)
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=256, epochs=2,
+                            num_minibatches=2, lr=1e-3)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=PCP.init_fused_opt_state(runner.params, geom))
+    step = jax.jit(PCP.make_pallas_cnn_train_step(
+        opt, env.params, env.statics, cfg, geom=geom, mode="reference",
+        fused_optimizer=True))
+    vloss = []
+    for _ in range(25):
+        runner, m = step(runner)
+        assert np.isfinite(float(m["loss"]))
+        vloss.append(float(m["v_loss"]))
+    assert np.mean(vloss[-6:]) < np.mean(vloss[2:8]), vloss
+    for leaf in jax.tree_util.tree_leaves(runner.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_cnn_opt_state_converters_roundtrip():
+    """optax adam state <-> CNN fused (count, mu, nu): moments preserved
+    bitwise both ways (cross-trainer checkpoint portability)."""
+    import optax
+
+    env, model, params, geom = _setup()
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=256, epochs=1,
+                            num_minibatches=2)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    step = jax.jit(PCP.make_pallas_cnn_train_step(
+        opt, env.params, env.statics, cfg, geom=geom, mode="reference",
+        fused_optimizer=False))
+    for _ in range(2):
+        runner, _ = step(runner)
+
+    fused = PCP.optax_to_fused_opt_state(runner.opt_state, geom)
+    back = PCP.fused_to_optax_opt_state(opt, runner.params, fused, geom)
+    adam0 = PCP.PPC._find_state(runner.opt_state, optax.ScaleByAdamState)
+    adam1 = PCP.PPC._find_state(back, optax.ScaleByAdamState)
+    assert int(adam0.count) == int(adam1.count)
+    for a, b in zip(jax.tree_util.tree_leaves(adam0.mu),
+                    jax.tree_util.tree_leaves(adam1.mu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(adam0.nu),
+                    jax.tree_util.tree_leaves(adam1.nu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

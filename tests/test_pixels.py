@@ -104,6 +104,7 @@ def test_cnn_policy_via_train_build(tmp_path):
     cfg.run.checkpoint_dir = str(tmp_path)
     runner, last = train(cfg)
     assert np.isfinite(last["loss"])
-    # the params really are the CNN's
-    names = {k for k in runner.params["params"]["cnn"]}
-    assert "conv0" in names and "actor_mean" in names
+    # the params really are the CNN's (PatchCNNActorCritic — the
+    # megakernel-trainable pixel policy run.policy=cnn selects)
+    names = set(runner.params["params"])
+    assert "conv0" in names and "conv1" in names and "actor_mean" in names

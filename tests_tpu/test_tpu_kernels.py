@@ -463,3 +463,105 @@ def test_traj_chained_calls_on_tpu():
     for f in ("step", "reset_count", "key0", "key1"):
         np.testing.assert_array_equal(np.asarray(getattr(fin, f)),
                                       np.asarray(getattr(full, f)), err_msg=f)
+
+
+def test_cnn_traj_kernel_vs_flax_on_tpu():
+    """Compiled CNN trajectory kernel vs PatchCNNActorCritic.apply on the
+    chip: step-0 stored obs exact-ish, policy mean / value at bf16-matmul
+    tolerance (the render is elementwise and agrees much tighter; the conv
+    towers run as MXU passes)."""
+    from drone_tpu.models import PatchCNNActorCritic
+    from drone_tpu.ops import traj_cnn_rollout_pallas
+    from drone_tpu.ops.pallas_acting_traj import (
+        TP_ACT0, TP_OBS0, TP_VAL,
+    )
+
+    env = drone_tpu.DroneEnv()
+    model = PatchCNNActorCritic()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    N = 1024
+    state = env.init_batch(7, N)
+    obs = env.observe_batch(state)
+    mean, _, value = jax.jit(model.apply)(params, obs)
+
+    _, planes, stats = traj_cnn_rollout_pallas(
+        state, params, env.params, env.statics, 8, lanes_per_block=N,
+        stochastic=False)
+    obs_k = planes[0, TP_OBS0:TP_OBS0 + 13].reshape(13, N).T
+    np.testing.assert_allclose(np.asarray(obs_k), np.asarray(obs),
+                               rtol=1e-6, atol=1e-7)
+    act_k = planes[0, TP_ACT0:TP_ACT0 + 4].reshape(4, N).T
+    np.testing.assert_allclose(np.asarray(act_k), np.asarray(mean),
+                               rtol=1e-2, atol=4e-3)
+    np.testing.assert_allclose(np.asarray(planes[0, TP_VAL].reshape(N)),
+                               np.asarray(value), rtol=1e-2, atol=8e-3)
+    assert np.isfinite(float(stats["reward_sum"]))
+
+
+def test_cnn_update_kernel_grads_on_tpu():
+    """Compiled CNN update megakernel vs the jnp mirror on the chip
+    (Mosaic vs XLA:TPU matmul pass structures -> bf16-scale tolerance)."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_cnn_pallas as PCP
+    from drone_tpu.models import PatchCNNActorCritic
+    from drone_tpu.ops import pallas_update_cnn as PUC
+    from drone_tpu.ops import traj_cnn_rollout_pallas
+    from drone_tpu.ops.pallas_acting_traj import TP_DONE, TP_REW, TP_VAL
+    from drone_tpu.pixels import patch_grid
+
+    env = drone_tpu.DroneEnv()
+    model = PatchCNNActorCritic()
+    geom = PCP.cnn_geom(model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    N, T = 1024, 8
+    p = env.params.replace(horizon=jnp.int32(6))
+    _, planes, _ = traj_cnn_rollout_pallas(
+        env.init_batch(3, N), params, p, env.statics, T, lanes_per_block=N)
+    rows = N // 128
+    adv, ret = ppo_mod.compute_gae(
+        planes[:, TP_REW], planes[:, TP_VAL], planes[:, TP_DONE],
+        jnp.zeros((rows, 128)), 0.99, 0.95)
+    adv = (adv - jnp.mean(adv)) / jnp.sqrt(jnp.var(adv) + 1e-8)
+    advret = jnp.stack([adv, ret])
+    gx, gy = patch_grid(geom.res, geom.p0)
+    tensors = PCP.cnn_kernel_tensors(params, geom)
+    co = PU.UpdateConsts(clip_eps=0.2, vf_clip=10.0, vf_coef=0.5,
+                         inv_m=1.0 / (N * T))
+    perm = jnp.arange(rows // 8, dtype=jnp.int32)
+    gk, sk = PUC.ppo_cnn_update(planes, advret, perm, tensors[:-1],
+                                tensors[-1], gx, gy, tc=1, geom=geom, co=co,
+                                rbu=8, mode="kernel")
+    gr, sr = PUC.ppo_cnn_update(planes, advret, perm, tensors[:-1],
+                                tensors[-1], gx, gy, tc=1, geom=geom, co=co,
+                                rbu=8, mode="reference")
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sr), rtol=2e-3,
+                               atol=1e-3)
+
+
+def test_cnn_megakernel_train_step_on_tpu():
+    """Full compiled CNN megakernel train step on silicon: a few updates,
+    finite loss/metrics, params stay finite (the compile-and-run gate for
+    the third policy family's flagship path)."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_cnn_pallas as PCP
+    from drone_tpu.models import PatchCNNActorCritic
+
+    env = drone_tpu.DroneEnv()
+    model = PatchCNNActorCritic()
+    geom = PCP.cnn_geom(model)
+    cfg = ppo_mod.PPOConfig(horizon=16, num_envs=2048, epochs=2,
+                            num_minibatches=2)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    runner = runner.replace(
+        opt_state=PCP.init_fused_opt_state(runner.params, geom))
+    step = jax.jit(PCP.make_pallas_cnn_train_step(
+        opt, env.params, env.statics, cfg, geom=geom, fused_optimizer=True))
+    for _ in range(3):
+        runner, m = step(runner)
+        assert np.isfinite(float(m["loss"])), m
+    for leaf in jax.tree_util.tree_leaves(runner.params):
+        assert np.isfinite(np.asarray(leaf)).all()
