@@ -19,6 +19,13 @@ v2 adds recurrent policies: each layer is prefixed by an int32 kind
 LSTMCell kernels in gate order i,f,g,o — input kernels Wi[in*hidden] x4
 (flax OptimizedLSTMCell has no input bias), recurrent kernels
 Wh[hidden*hidden] x4, recurrent biases bh[hidden] x4).
+
+v3 adds the pixel-CNN policy (PatchCNNActorCritic — the megakernel-trainable
+patchify configuration; overlapping-conv policies have no C runtime):
+kind 2 render (int32 res, int32 n_chan=4, float32 sigma — the C runtime
+mirrors pixels.obs_to_pixels) and kind 3 conv (int32 h, w, cin, patch,
+cout, act, then W[patch*patch*cin*cout] in flax (kh, kw, cin, cout)
+C-order and b[cout] — kernel == stride over a row-major HWC image).
 """
 
 from __future__ import annotations
@@ -30,8 +37,12 @@ import numpy as np
 MAGIC = 0x44524E57
 ACT_NONE = 0
 ACT_TANH = 1
+ACT_RELU = 2
 KIND_DENSE = 0
 KIND_LSTM = 1
+KIND_RENDER = 2
+KIND_CONV = 3
+N_CHAN = 4  # render channels (pixels.obs_to_pixels)
 _GATES = ("i", "f", "g", "o")  # flax LSTMCell gate order
 
 
@@ -66,11 +77,54 @@ def export_flat_weights(params, path: str, hidden=None) -> None:
         layers.append(("lstm", wi, wh, bh))
         layers.append(_dense(p, "actor_mean", ACT_NONE))
         version = 2
+    elif "conv0" in p:
+        # PatchCNNActorCritic: render + two patchify convs + relu trunk.
+        # Geometry is inferred from the kernels and cross-checked against
+        # the trunk input size — an overlapping-conv CNNActorCritic (whose
+        # stride != kernel isn't recorded in the params) fails the check
+        # instead of silently exporting a wrong network.
+        from drone_tpu.pixels import SPLAT_SIGMA
+
+        if "conv2" in p or "conv1" not in p:
+            raise ValueError(
+                "CNN params are not a PatchCNNActorCritic tower (exactly "
+                "two patchify convs); overlapping-conv policies have no C "
+                "runtime — conv stride isn't recorded in params, so only "
+                "the known kernel==stride architecture is exportable")
+        k0 = np.asarray(p["conv0"]["kernel"], np.float32)
+        k1 = np.asarray(p["conv1"]["kernel"], np.float32)
+        p0, c_in, c0 = k0.shape[0], k0.shape[2], k0.shape[3]
+        p1, c1 = k1.shape[0], k1.shape[3]
+        trunk_in = np.asarray(p["trunk"]["kernel"]).shape[0]
+        if (k0.shape[1] != p0 or k1.shape[1] != p1 or c_in != N_CHAN
+                or k1.shape[2] != c0 or trunk_in % c1 != 0):
+            raise ValueError(
+                "CNN params are not a PatchCNNActorCritic tower "
+                f"(conv0 {k0.shape}, conv1 {k1.shape}, trunk_in {trunk_in})")
+        g1 = int(round((trunk_in // c1) ** 0.5))
+        if g1 * g1 * c1 != trunk_in:
+            raise ValueError(
+                f"trunk input {trunk_in} is not a square patch grid x {c1} "
+                "channels; only kernel==stride (patchify) CNNs have a C "
+                "runtime")
+        g0 = g1 * p1
+        res = g0 * p0
+        layers.append(("render", res, N_CHAN, float(SPLAT_SIGMA)))
+        layers.append(("conv", res, res, N_CHAN, p0, c0, ACT_RELU,
+                       k0.reshape(-1, c0),
+                       np.asarray(p["conv0"]["bias"], np.float32)))
+        layers.append(("conv", g0, g0, c0, p1, c1, ACT_RELU,
+                       k1.reshape(-1, c1),
+                       np.asarray(p["conv1"]["bias"], np.float32)))
+        layers.append(_dense(p, "trunk", ACT_RELU))
+        layers.append(_dense(p, "actor_mean", ACT_NONE))
+        version = 3
     else:
         if "actor_h0" not in p:
             raise ValueError(
-                "params are not an exportable ActorCritic/LSTMActorCritic "
-                f"tower (found {sorted(p)}); CNN policies have no C runtime"
+                "params are not an exportable ActorCritic/LSTMActorCritic/"
+                f"PatchCNNActorCritic tower (found {sorted(p)}); "
+                "overlapping-conv CNN policies have no C runtime"
             )
         i = 0
         while f"actor_h{i}" in p:
@@ -90,7 +144,7 @@ def export_flat_weights(params, path: str, hidden=None) -> None:
                 f.write(struct.pack("<iii", in_dim, out_dim, act))
                 f.write(w.astype("<f4").tobytes(order="C"))
                 f.write(b.astype("<f4").tobytes(order="C"))
-            else:
+            elif layer[0] == "lstm":
                 _, wi, wh, bh = layer
                 in_dim, hid = wi[0].shape
                 f.write(struct.pack("<iii", KIND_LSTM, in_dim, hid))
@@ -100,17 +154,28 @@ def export_flat_weights(params, path: str, hidden=None) -> None:
                     f.write(m.astype("<f4").tobytes(order="C"))
                 for v in bh:
                     f.write(v.astype("<f4").tobytes(order="C"))
+            elif layer[0] == "render":
+                _, res, n_chan, sigma = layer
+                f.write(struct.pack("<iiif", KIND_RENDER, res, n_chan,
+                                    sigma))
+            else:
+                _, h, wdt, cin, patch, cout, act, w, b = layer
+                f.write(struct.pack("<iiiiiii", KIND_CONV, h, wdt, cin,
+                                    patch, cout, act))
+                f.write(w.astype("<f4").tobytes(order="C"))
+                f.write(b.astype("<f4").tobytes(order="C"))
 
 
 def load_flat_weights(path: str):
-    """Read a DRNW file back into a layer list: ('dense', W, b, act) and
-    ('lstm', wi[4], wh[4], bh[4]) entries."""
+    """Read a DRNW file back into a layer list: ('dense', W, b, act),
+    ('lstm', wi[4], wh[4], bh[4]), ('render', res, n_chan, sigma) and
+    ('conv', h, w, cin, patch, cout, act, W, b) entries."""
     layers = []
     with open(path, "rb") as f:
         magic, version, n = struct.unpack("<iii", f.read(12))
         if magic != MAGIC:
             raise ValueError(f"bad magic {magic:#x}")
-        if version not in (1, 2):
+        if version not in (1, 2, 3):
             raise ValueError(f"unsupported version {version}")
 
         def floats(shape):
@@ -131,6 +196,15 @@ def load_flat_weights(path: str):
                 wh = [floats((hid, hid)) for _ in _GATES]
                 bh = [floats((hid,)) for _ in _GATES]
                 layers.append(("lstm", wi, wh, bh))
+            elif kind == KIND_RENDER:
+                res, n_chan, sigma = struct.unpack("<iif", f.read(12))
+                layers.append(("render", res, n_chan, sigma))
+            elif kind == KIND_CONV:
+                h, wdt, cin, patch, cout, act = struct.unpack(
+                    "<iiiiii", f.read(24))
+                layers.append(("conv", h, wdt, cin, patch, cout, act,
+                               floats((patch * patch * cin, cout)),
+                               floats((cout,))))
             else:
                 raise ValueError(f"unknown layer kind {kind}")
     return layers

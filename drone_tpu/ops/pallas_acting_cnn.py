@@ -63,8 +63,9 @@ from drone_tpu.ops.pallas_acting_traj import (
 )
 from drone_tpu.types import OBS_DIM, EnvParams, EnvState, EnvStatics
 
+from drone_tpu.pixels import SPLAT_SIGMA as _SIGMA
+
 N_CHAN = 4          # splat image channels (pixels.obs_to_pixels)
-_SIGMA = 0.18       # splat width (pixels._splat default)
 
 
 class CnnGeom:

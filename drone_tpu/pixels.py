@@ -33,6 +33,11 @@ import jax.numpy as jnp
 from drone_tpu.types import OBS_DIM
 
 
+SPLAT_SIGMA = 0.18  # Gaussian splat width; shared by _splat, the CNN
+                    # megakernels (ops/pallas_acting_cnn._SIGMA) and the
+                    # DRNW v3 exporter (models/export.py)
+
+
 def body_rotation_t(quat):
     """Rows of R^T for q=(w,x,y,z) (world->body): returns three (..., 3)
     row vectors."""
@@ -53,7 +58,7 @@ def to_body(quat, v):
                       jnp.sum(r2 * v, -1)], axis=-1)
 
 
-def _splat(u, amp, res, sigma=0.18):
+def _splat(u, amp, res, sigma=SPLAT_SIGMA):
     """(..., 2) centers in [-1, 1] + (...,) amplitudes -> (..., res, res)."""
     lin = jnp.linspace(-1.0, 1.0, res)
     gx = lin[None, :]

@@ -34,6 +34,42 @@ static int load_dense(FILE *f, DroneNetLayer *L) {
   return !(L->w && L->b);
 }
 
+static int load_render(FILE *f, DroneNetLayer *L) {
+  int32_t dims[2];
+  float sigma;
+  if (fread(dims, 4, 2, f) != 2 || fread(&sigma, 4, 1, f) != 1) return 1;
+  if (dims[0] < 2 || dims[0] > 256 || dims[1] != DRNW_RENDER_CHANNELS ||
+      !(sigma > 0.0f))
+    return 1;
+  L->kind = DRNW_KIND_RENDER;
+  L->res = dims[0];
+  L->sigma = sigma;
+  L->in_dim = DRNW_OBS_DIM;
+  L->out_dim = dims[0] * dims[0] * dims[1];
+  return 0;
+}
+
+static int load_conv(FILE *f, DroneNetLayer *L) {
+  int32_t d[6]; /* h, w, cin, patch, cout, act */
+  if (fread(d, 4, 6, f) != 6) return 1;
+  if (d[0] <= 0 || d[1] <= 0 || d[2] <= 0 || d[3] <= 0 || d[4] <= 0 ||
+      d[0] > 4096 || d[1] > 4096 || d[2] > 4096 || d[4] > 4096 ||
+      d[0] % d[3] != 0 || d[1] % d[3] != 0)
+    return 1;
+  L->kind = DRNW_KIND_CONV;
+  L->h = d[0];
+  L->wdt = d[1];
+  L->cin = d[2];
+  L->patch = d[3];
+  L->cout = d[4];
+  L->activation = d[5];
+  L->in_dim = d[0] * d[1] * d[2];
+  L->out_dim = (d[0] / d[3]) * (d[1] / d[3]) * d[4];
+  L->w = read_floats(f, (size_t)d[3] * d[3] * d[2] * d[4]);
+  L->b = read_floats(f, (size_t)d[4]);
+  return !(L->w && L->b);
+}
+
 static int load_lstm(FILE *f, DroneNetLayer *L) {
   int32_t dims[2];
   if (fread(dims, 4, 2, f) != 2) return 1;
@@ -57,7 +93,7 @@ int dronenet_load(DroneNet *net, const char *path) {
   memset(net, 0, sizeof(*net));
   int32_t header[3];
   if (fread(header, 4, 3, f) != 3 || header[0] != DRNW_MAGIC ||
-      (header[1] != 1 && header[1] != 2)) {
+      header[1] < 1 || header[1] > 3) {
     fclose(f);
     return 2;
   }
@@ -77,6 +113,10 @@ int dronenet_load(DroneNet *net, const char *path) {
       if (load_lstm(f, L)) goto fail;
       L->state_off = net->state_size;
       net->state_size += 2 * L->out_dim; /* h then c */
+    } else if (kind == DRNW_KIND_RENDER && version >= 3) {
+      if (load_render(f, L)) goto fail;
+    } else if (kind == DRNW_KIND_CONV && version >= 3) {
+      if (load_conv(f, L)) goto fail;
     } else {
       goto fail;
     }
@@ -128,13 +168,90 @@ void dronenet_reset_state(const DroneNet *net, float *state) {
 
 static float sigmoidf_(float x) { return 1.0f / (1.0f + expf(-x)); }
 
+static float activate_(int32_t act, float v) {
+  if (act == DRNW_ACT_TANH) return tanhf(v);
+  if (act == DRNW_ACT_RELU) return v > 0.0f ? v : 0.0f;
+  return v;
+}
+
 /* y[j] = act(b[j] + sum_k x[k] W[k*out+j]) */
 static void dense_fwd(const DroneNetLayer *L, const float *x, float *y) {
   for (int j = 0; j < L->out_dim; j++) {
     float acc = L->b[j];
     for (int k = 0; k < L->in_dim; k++) acc += x[k] * L->w[k * L->out_dim + j];
-    y[j] = (L->activation == DRNW_ACT_TANH) ? tanhf(acc) : acc;
+    y[j] = activate_(L->activation, acc);
   }
+}
+
+/* C mirror of drone_tpu/pixels.py obs_to_pixels: obs[13] -> 4 Gaussian
+ * splat channels (target direction, artificial horizon, velocity, body
+ * rates) on a res x res grid, row-major HWC. */
+static void render_fwd(const DroneNetLayer *L, const float *obs, float *img) {
+  const float *rel = obs, *q = obs + 3, *vel = obs + 7, *om = obs + 10;
+  float w = q[0], x = q[1], y = q[2], z = q[3];
+  /* rows of R^T (world->body), as pixels.body_rotation_t */
+  float r[3][3] = {{1.0f - 2.0f * (y * y + z * z), 2.0f * (x * y + w * z),
+                    2.0f * (x * z - w * y)},
+                   {2.0f * (x * y - w * z), 1.0f - 2.0f * (x * x + z * z),
+                    2.0f * (y * z + w * x)},
+                   {2.0f * (x * z + w * y), 2.0f * (y * z - w * x),
+                    1.0f - 2.0f * (x * x + y * y)}};
+  float v_b[4][3]; /* body-frame cue vectors per channel (1 = up = R^T e_z) */
+  for (int k = 0; k < 3; k++) {
+    v_b[0][k] = r[k][0] * rel[0] + r[k][1] * rel[1] + r[k][2] * rel[2];
+    v_b[1][k] = r[k][2];
+    v_b[2][k] = r[k][0] * vel[0] + r[k][1] * vel[1] + r[k][2] * vel[2];
+    v_b[3][k] = om[k]; /* omega is already body-frame rates */
+  }
+  float u0[4], u1[4], amp[4];
+  for (int c = 0; c < 4; c++) {
+    float n = sqrtf(v_b[c][0] * v_b[c][0] + v_b[c][1] * v_b[c][1] +
+                    v_b[c][2] * v_b[c][2]);
+    float inv = 1.0f / (1.0f + n);
+    u0[c] = v_b[c][0] * inv;
+    u1[c] = v_b[c][1] * inv;
+    amp[c] = (c == 0) ? inv : n * inv; /* target: closeness; vel/omega: sat */
+  }
+  u0[1] = v_b[1][0]; /* horizon channel: raw up-vector, not normalized */
+  u1[1] = v_b[1][1];
+  amp[1] = 0.5f + 0.5f * v_b[1][2];
+  int res = L->res;
+  float inv2s2 = 1.0f / (2.0f * L->sigma * L->sigma);
+  for (int i = 0; i < res; i++) {
+    float gy = -1.0f + 2.0f * (float)i / (float)(res - 1);
+    for (int j = 0; j < res; j++) {
+      float gx = -1.0f + 2.0f * (float)j / (float)(res - 1);
+      float *px = img + ((size_t)i * res + j) * DRNW_RENDER_CHANNELS;
+      for (int c = 0; c < DRNW_RENDER_CHANNELS; c++) {
+        float dx = gx - u0[c], dy = gy - u1[c];
+        px[c] = amp[c] * expf(-(dx * dx + dy * dy) * inv2s2);
+      }
+    }
+  }
+}
+
+/* Patchify (kernel == stride) conv over a row-major HWC image; weights in
+ * flax (kh, kw, cin, cout) C-order. Output row-major HWC, so a following
+ * dense layer consumes flax's reshape(-1) flatten order directly. */
+static void conv_fwd(const DroneNetLayer *L, const float *x, float *y) {
+  int go = L->h / L->patch, wo = L->wdt / L->patch;
+  for (int oi = 0; oi < go; oi++)
+    for (int oj = 0; oj < wo; oj++)
+      for (int co = 0; co < L->cout; co++) {
+        float acc = L->b[co];
+        for (int di = 0; di < L->patch; di++)
+          for (int dj = 0; dj < L->patch; dj++) {
+            const float *row =
+                x + ((size_t)(oi * L->patch + di) * L->wdt +
+                     (oj * L->patch + dj)) * L->cin;
+            const float *wk =
+                L->w + ((size_t)di * L->patch + dj) * L->cin * L->cout;
+            for (int ci = 0; ci < L->cin; ci++)
+              acc += row[ci] * wk[(size_t)ci * L->cout + co];
+          }
+        y[((size_t)oi * wo + oj) * L->cout + co] =
+            activate_(L->activation, acc);
+      }
 }
 
 static void lstm_fwd(const DroneNetLayer *L, const float *x, float *y,
@@ -173,6 +290,10 @@ void dronenet_forward(const DroneNet *net, const float *in, float *out,
     const DroneNetLayer *L = &net->layers[i];
     if (L->kind == DRNW_KIND_LSTM)
       lstm_fwd(L, cur, nxt, state);
+    else if (L->kind == DRNW_KIND_RENDER)
+      render_fwd(L, cur, nxt);
+    else if (L->kind == DRNW_KIND_CONV)
+      conv_fwd(L, cur, nxt);
     else
       dense_fwd(L, cur, nxt);
     float *tmp = cur;

@@ -167,6 +167,41 @@ def test_c_forward_matches_flax_lstm(tmp_path, demo_binary):
             err_msg=f"diverged at t={t}")
 
 
+def test_c_forward_matches_flax_cnn(tmp_path, demo_binary):
+    """libdronenet pixel-CNN forward (DRNW v3: render + patchify convs +
+    relu trunk) == flax PatchCNNActorCritic actor mean — the third policy
+    family deployable to the pure-C demo."""
+    from drone_tpu.models import PatchCNNActorCritic
+
+    model = PatchCNNActorCritic(res=8, patch0=2, patch1=2, channels=(8, 8),
+                                hidden=16)
+    params = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 13)))
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path))
+    lib, net = _ctypes_net(path)
+    rng = np.random.RandomState(3)
+    obs = rng.randn(8, 13).astype(np.float32)
+    obs[:, 3:7] /= np.linalg.norm(obs[:, 3:7], axis=1, keepdims=True)
+    mean, _, _ = model.apply(params, jnp.asarray(obs))
+    for i in range(8):
+        np.testing.assert_allclose(
+            _c_forward(lib, net, obs[i]), np.asarray(mean[i]),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_export_rejects_overlapping_cnn(tmp_path):
+    """Conv stride isn't recorded in flax params, so only the known
+    PatchCNNActorCritic architecture (exactly two patchify convs) is
+    exportable — a Nature-CNN-shaped CNNActorCritic must fail export
+    validation, not write a wrong network."""
+    from drone_tpu.models import CNNActorCritic
+
+    model = CNNActorCritic(hidden=16)
+    params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 36, 36, 4)))
+    with pytest.raises(ValueError, match="PatchCNN"):
+        export_flat_weights(params, str(tmp_path / "bad.drnw"))
+
+
 def test_export_probes_depth_from_params(tmp_path):
     """Regression: export used to trust a caller-supplied hidden tuple and
     silently truncated deeper towers (equal widths chain without error)."""
