@@ -166,12 +166,16 @@ def main(argv=None):
         print(f"wrote {out} (trajectory: {csv_path})")
     elif args.cmd == "export":
         from drone_tpu.models import export_flat_weights
-        from drone_tpu.train import restore_dir
+        from drone_tpu.train import build_env_and_model, restore_dir
         from drone_tpu.utils.checkpoint import Checkpointer
 
         ckpt = Checkpointer(restore_dir(cfg))
         raw, _ = ckpt.restore_raw()
-        export_flat_weights(raw["params"], args.out, hidden=tuple(cfg.run.hidden))
+        # the model carries the authoritative conv geometry (strides are
+        # not recorded in params — see export_flat_weights)
+        _, model = build_env_and_model(cfg)
+        export_flat_weights(raw["params"], args.out,
+                            hidden=tuple(cfg.run.hidden), model=model)
         # also dump the env params struct for the C demo (native/demo.c),
         # behind a versioned header (magic, version, struct size) so a
         # stale dump can never be silently reinterpreted if DroneParams

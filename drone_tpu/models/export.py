@@ -52,7 +52,7 @@ def _dense(p, name, act):
             np.asarray(d["bias"], np.float32), act)
 
 
-def export_flat_weights(params, path: str, hidden=None) -> None:
+def export_flat_weights(params, path: str, hidden=None, model=None) -> None:
     """Export the actor tower of a params pytree to `path`.
 
     MLP (ActorCritic) params -> DRNW v1; LSTM (LSTMActorCritic) params ->
@@ -61,6 +61,16 @@ def export_flat_weights(params, path: str, hidden=None) -> None:
     backward compatibility and ignored — trusting a caller-supplied depth
     silently exported truncated networks when it understated the trained
     depth, since equal-width layers still chain without a shape error).
+
+    `model`: the flax module the params were trained with, when the caller
+    has it (the CLI does). For conv towers the render/patch geometry is then
+    taken FROM THE MODEL (res/patch0/patch1 attributes) instead of being
+    inferred from parameter shapes — shape inference can false-accept an
+    overlapping-conv tower whose strides happen to satisfy the
+    cross-checks (strides aren't recorded in params), silently exporting a
+    wrong kernel==stride network. A model without patch geometry (e.g.
+    CNNActorCritic / PixelActorCritic) is rejected here with the real
+    reason rather than by luck of the shape checks.
     """
     del hidden
     p = params["params"] if "params" in params else params
@@ -109,6 +119,26 @@ def export_flat_weights(params, path: str, hidden=None) -> None:
                 "runtime")
         g0 = g1 * p1
         res = g0 * p0
+        if model is not None:
+            # geometry from the model itself, not shape inference: conv
+            # STRIDES are not recorded in params, so an overlapping-conv
+            # tower can pass every shape cross-check above while computing
+            # a different function than the exported patchify network
+            m_res = getattr(model, "res", None)
+            m_p0 = getattr(model, "patch0", None)
+            m_p1 = getattr(model, "patch1", None)
+            if m_res is None or m_p0 is None or m_p1 is None:
+                raise ValueError(
+                    f"model {type(model).__name__} has no patch geometry "
+                    "(res/patch0/patch1): only kernel==stride "
+                    "(PatchCNNActorCritic-family) policies have a C "
+                    "runtime — overlapping-conv towers are not exportable")
+            if (m_res, m_p0, m_p1) != (res, p0, p1):
+                raise ValueError(
+                    f"model geometry (res={m_res}, patch0={m_p0}, "
+                    f"patch1={m_p1}) disagrees with the parameter shapes "
+                    f"(inferred res={res}, p0={p0}, p1={p1}); params do "
+                    "not belong to this model")
         layers.append(("render", res, N_CHAN, float(SPLAT_SIGMA)))
         layers.append(("conv", res, res, N_CHAN, p0, c0, ACT_RELU,
                        k0.reshape(-1, c0),

@@ -239,6 +239,20 @@ def build(cfg: Config):
     return env, model, opt, runner, step, mesh
 
 
+def _check_cnn_checkpoint_layout(cfg, raw_params):
+    """run.policy='cnn' builds PatchCNNActorCritic; checkpoints written when
+    'cnn' meant PixelActorCritic (overlapping convs, params nested under a
+    'cnn' submodule) must fail loudly with the rename, not with an opaque
+    orbax tree mismatch."""
+    p = raw_params.get("params", raw_params)
+    if cfg.run.policy == "cnn" and "cnn" in p and "conv0" not in p:
+        raise RuntimeError(
+            "this checkpoint holds a PixelActorCritic (overlapping-conv) "
+            "tower, but run.policy='cnn' now builds the megakernel-trainable "
+            "PatchCNNActorCritic architecture. Evaluate/resume it with "
+            "run.policy=cnn_overlap")
+
+
 def _restore_any_trainer(restorer, runner, opt, cfg):
     """Restore a checkpoint, converting the optimizer state when it was
     written by the OTHER trainer kind (scan/optax <-> megakernel/fused-adam).
@@ -267,6 +281,13 @@ def _restore_any_trainer(restorer, runner, opt, cfg):
         raise
     except Exception as e:  # noqa: BLE001 — orbax raises various types
         first_err = e
+    try:
+        raw, _ = restorer.restore_raw()
+        _check_cnn_checkpoint_layout(cfg, raw["params"])
+    except (RuntimeError,):
+        raise
+    except Exception:  # raw probe is best-effort diagnosis only
+        pass
     cur_fused = ppo_pallas.is_fused_opt_state(runner.opt_state)
     alt_opt_state = (opt.init(runner.params) if cur_fused
                      else conv_mod.init_fused_opt_state(runner.params))
@@ -394,6 +415,7 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
         # still evaluate under a config whose default is 65536
         restorer = Checkpointer(restore_dir(cfg))
         raw, _ = restorer.restore_raw()
+        _check_cnn_checkpoint_layout(cfg, raw["params"])
         params = jax.tree_util.tree_map(
             jnp.asarray, raw["params"])
     else:

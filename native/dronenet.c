@@ -21,10 +21,17 @@ static int dims_ok(int32_t in, int32_t out) {
   return in > 0 && out > 0 && in <= (1 << 16) && out <= (1 << 16);
 }
 
+/* activate_() treats unknown ids as identity, so an unvalidated act from a
+ * newer/corrupt exporter would silently degrade to wrong inference instead
+ * of failing the load — reject format drift here. */
+static int act_ok(int32_t act) {
+  return act == DRNW_ACT_NONE || act == DRNW_ACT_TANH || act == DRNW_ACT_RELU;
+}
+
 static int load_dense(FILE *f, DroneNetLayer *L) {
   int32_t dims[3];
   if (fread(dims, 4, 3, f) != 3) return 1;
-  if (!dims_ok(dims[0], dims[1])) return 1;
+  if (!dims_ok(dims[0], dims[1]) || !act_ok(dims[2])) return 1;
   L->kind = DRNW_KIND_DENSE;
   L->in_dim = dims[0];
   L->out_dim = dims[1];
@@ -54,7 +61,7 @@ static int load_conv(FILE *f, DroneNetLayer *L) {
   if (fread(d, 4, 6, f) != 6) return 1;
   if (d[0] <= 0 || d[1] <= 0 || d[2] <= 0 || d[3] <= 0 || d[4] <= 0 ||
       d[0] > 4096 || d[1] > 4096 || d[2] > 4096 || d[4] > 4096 ||
-      d[0] % d[3] != 0 || d[1] % d[3] != 0)
+      d[0] % d[3] != 0 || d[1] % d[3] != 0 || !act_ok(d[5]))
     return 1;
   L->kind = DRNW_KIND_CONV;
   L->h = d[0];

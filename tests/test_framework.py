@@ -202,6 +202,58 @@ def test_export_rejects_overlapping_cnn(tmp_path):
         export_flat_weights(params, str(tmp_path / "bad.drnw"))
 
 
+def test_export_model_geometry_is_authoritative(tmp_path):
+    """ADVICE r4: shape inference can false-accept a 2-conv overlapping
+    tower — e.g. channels=(32,64), kernels=(8,4), strides=(4,2) on a
+    36x36x4 input passes every shape cross-check and would silently export
+    a wrong kernel==stride network at an inferred res=96. Passing the model
+    makes the geometry authoritative: a model without patch attributes is
+    rejected, and a geometry mismatch is rejected."""
+    from drone_tpu.models import CNNActorCritic, PatchCNNActorCritic
+
+    model = CNNActorCritic(channels=(32, 64), kernels=(8, 4), strides=(4, 2),
+                           hidden=16)
+    params = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 36, 36, 4)))
+    with pytest.raises(ValueError, match="no patch geometry"):
+        export_flat_weights(params, str(tmp_path / "bad2.drnw"), model=model)
+
+    patch = PatchCNNActorCritic(res=8, patch0=2, patch1=2, channels=(8, 8),
+                                hidden=16)
+    pparams = patch.init(jax.random.PRNGKey(10), jnp.zeros((1, 13)))
+    # correct model: exports fine
+    export_flat_weights(pparams, str(tmp_path / "ok.drnw"), model=patch)
+    # wrong geometry claimed by the model: rejected
+    other = PatchCNNActorCritic(res=16, patch0=4, patch1=2, channels=(8, 8),
+                                hidden=16)
+    with pytest.raises(ValueError, match="disagrees"):
+        export_flat_weights(pparams, str(tmp_path / "mis.drnw"), model=other)
+
+
+def test_old_pixel_cnn_checkpoint_fails_with_rename_hint():
+    """ADVICE r4: run.policy='cnn' now builds PatchCNNActorCritic; a
+    checkpoint written when 'cnn' meant PixelActorCritic (params nested
+    under a 'cnn' submodule) must fail with a pointer at
+    run.policy=cnn_overlap, not an opaque orbax tree mismatch."""
+    import dataclasses
+
+    from drone_tpu.models import PatchCNNActorCritic, PixelActorCritic
+    from drone_tpu.train import _check_cnn_checkpoint_layout
+
+    cfg = dataclasses.replace(Config.default(), run=RunConfig(policy="cnn"))
+    old = PixelActorCritic(channels=(4, 4), hidden=8)
+    old_params = old.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    with pytest.raises(RuntimeError, match="cnn_overlap"):
+        _check_cnn_checkpoint_layout(cfg, dict(old_params))
+
+    new = PatchCNNActorCritic(res=8, patch0=2, patch1=2, channels=(8, 8),
+                              hidden=16)
+    new_params = new.init(jax.random.PRNGKey(1), jnp.zeros((1, 13)))
+    _check_cnn_checkpoint_layout(cfg, dict(new_params))  # fine
+    # and cnn_overlap evaluating its own checkpoint is fine
+    cfg2 = dataclasses.replace(cfg, run=RunConfig(policy="cnn_overlap"))
+    _check_cnn_checkpoint_layout(cfg2, dict(old_params))
+
+
 def test_export_probes_depth_from_params(tmp_path):
     """Regression: export used to trust a caller-supplied hidden tuple and
     silently truncated deeper towers (equal widths chain without error)."""
@@ -705,6 +757,14 @@ def test_dronenet_rejects_malformed_files(tmp_path, demo_binary):
     p2 = tmp_path / "dims.drnw"
     p2.write_bytes(bad_dims)
     assert lib.dronenet_load(net, str(p2).encode()) != 0
+
+    # unknown activation id: activate_() would silently degrade it to
+    # identity, so format drift must fail the LOAD (ADVICE r4)
+    bad_act = struct.pack("<iii", 0x44524E57, 1, 2) + dense(13, 16) \
+        + dense(16, 4, act=7)
+    p4 = tmp_path / "act.drnw"
+    p4.write_bytes(bad_act)
+    assert lib.dronenet_load(net, str(p4).encode()) != 0
 
     # and a well-formed 2-layer file still loads
     ok = struct.pack("<iii", 0x44524E57, 1, 2) + dense(13, 16) + dense(16, 4)
