@@ -8,9 +8,11 @@ with each lane block resident in VMEM for the whole horizon, HBM touched
 once per block per call. This is the production configuration for pure env
 stepping (evaluation / stress / data-generation workloads).
 
-A secondary line on stderr reports the XLA scan rollout WITH the flax policy
-in the loop (actions sampled from the ActorCritic every step) — the acting
-path PPO training uses.
+Every phase is measured REPEATS times after a warmup call and reported as
+the per-phase MEDIAN; the relative spread (max-min)/median of each phase
+rides in the JSON "spread" object so two runs are comparable within their
+own stated noise (round-4 verdict: a single-shot phase once under-reported
+the acting kernel by 29% and fabricated a cross-round regression).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the spec
 target is >100M steps/s aggregate on a v4-16 (16 chips). We report
@@ -28,6 +30,7 @@ import time
 import jax
 import jax.numpy as jnp
 
+REPEATS = 3
 
 # TIMING NOTE: on this image's tunneled TPU, jax.block_until_ready sometimes
 # returns before the computation finishes (observed: a 200 ms kernel "done"
@@ -38,17 +41,40 @@ import jax.numpy as jnp
 # conservative).
 
 
+def measure(run_iters, sync, steps_per_repeat, repeats=REPEATS):
+    """Time `run_iters()` (which enqueues the phase's chained device calls)
+    `repeats` times; `sync()` must END each region with a device->host value
+    fetch (see TIMING NOTE). Returns the per-repeat steps/s list."""
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_iters()
+        sync()
+        rates.append(steps_per_repeat / (time.perf_counter() - t0))
+    return rates
+
+
+def med_spread(rates):
+    """(median, relative spread). Spread = (max-min)/median — two runs of
+    the same bench agree within the larger of their spreads."""
+    r = sorted(rates)
+    m = r[len(r) // 2]
+    return m, (r[-1] - r[0]) / m if m else 0.0
+
+
 def bench_megakernel(env, N=131072, T=4096, iters=4):
     from drone_tpu.ops import rollout_pallas
 
     state = env.init_batch(0, N)
     state, stats = rollout_pallas(state, env.params, env.statics, T)  # warm
     float(stats["reward_sum"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, stats = rollout_pallas(state, env.params, env.statics, T)
-    float(stats["reward_sum"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    box = [state, stats]
+
+    def run():
+        for _ in range(iters):
+            box[0], box[1] = rollout_pallas(box[0], env.params, env.statics, T)
+
+    return measure(run, lambda: float(box[1]["reward_sum"]), N * T * iters)
 
 
 def bench_acting_megakernel(env, N=131072, T=1024, iters=4):
@@ -62,12 +88,14 @@ def bench_acting_megakernel(env, N=131072, T=1024, iters=4):
     state = env.init_batch(0, N)
     state, stats = act_rollout_pallas(state, params, env.params, env.statics, T)
     float(stats["reward_sum"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, stats = act_rollout_pallas(state, params, env.params,
-                                          env.statics, T)
-    float(stats["reward_sum"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    box = [state, stats]
+
+    def run():
+        for _ in range(iters):
+            box[0], box[1] = act_rollout_pallas(box[0], params, env.params,
+                                                env.statics, T)
+
+    return measure(run, lambda: float(box[1]["reward_sum"]), N * T * iters)
 
 
 def bench_policy_rollout(env, N=131072, T=256, iters=4):
@@ -89,21 +117,23 @@ def bench_policy_rollout(env, N=131072, T=256, iters=4):
         )(s, action)
         return (s2, out.obs, acc + jnp.sum(out.reward)), None
 
-    def run(state, key):
+    def run_scan(state, key):
         obs = jax.vmap(env_mod.observe)(state)
         keys = jax.random.split(key, T)
         (final, _, acc), _ = jax.lax.scan(body, (state, obs, jnp.float32(0)), keys)
         return final, acc
 
-    run_j = jax.jit(run, donate_argnums=0)
-    state = env.init_batch(0, N)
-    state, s = run_j(state, key)
+    run_j = jax.jit(run_scan, donate_argnums=0)
+    state, s = run_j(env.init_batch(0, N), key)
     float(s)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, s = run_j(state, jax.random.fold_in(key, i))
-    float(s)  # hard sync (see TIMING NOTE)
-    return N * T * iters / (time.perf_counter() - t0)
+    box = [state, s, 0]
+
+    def run():
+        for _ in range(iters):
+            box[2] += 1
+            box[0], box[1] = run_j(box[0], jax.random.fold_in(key, box[2]))
+
+    return measure(run, lambda: float(box[1]), N * T * iters)
 
 
 def bench_traj_rollout(env, N=131072, T=512, iters=2):
@@ -125,12 +155,14 @@ def bench_traj_rollout(env, N=131072, T=512, iters=2):
     state, planes, stats = traj_act_rollout_pallas_planes(
         state, params, env.params, env.statics, T)
     float(stats["reward_sum"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, planes, stats = traj_act_rollout_pallas_planes(
-            state, params, env.params, env.statics, T)
-    float(stats["reward_sum"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    box = [state, stats]
+
+    def run():
+        for _ in range(iters):
+            box[0], _, box[1] = traj_act_rollout_pallas_planes(
+                box[0], params, env.params, env.statics, T)
+
+    return measure(run, lambda: float(box[1]["reward_sum"]), N * T * iters)
 
 
 def bench_lstm_acting(env, N=131072, T=512, iters=2):
@@ -147,12 +179,52 @@ def bench_lstm_acting(env, N=131072, T=512, iters=2):
     state, carry, stats = lstm_act_rollout_pallas(
         state, params, carry, env.params, env.statics, T)
     float(stats["reward_sum"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, carry, stats = lstm_act_rollout_pallas(
-            state, params, carry, env.params, env.statics, T)
-    float(stats["reward_sum"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    box = [state, carry, stats]
+
+    def run():
+        for _ in range(iters):
+            box[0], box[1], box[2] = lstm_act_rollout_pallas(
+                box[0], params, box[1], env.params, env.statics, T)
+
+    return measure(run, lambda: float(box[2]["reward_sum"]), N * T * iters)
+
+
+def bench_cnn_acting(env, N=131072, T=256, iters=2):
+    """Fused CNN-policy + env acting kernel (pixel serving path): in-kernel
+    splat render + patchify convs + env step, stats-only outputs."""
+    from drone_tpu.models import PatchCNNActorCritic
+    from drone_tpu.ops import cnn_act_rollout_pallas
+
+    model = PatchCNNActorCritic()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, env.obs_dim), jnp.float32))
+    state = env.init_batch(0, N)
+    state, stats = cnn_act_rollout_pallas(state, params, env.params,
+                                          env.statics, T)
+    float(stats["reward_sum"])
+    box = [state, stats]
+
+    def run():
+        for _ in range(iters):
+            box[0], box[1] = cnn_act_rollout_pallas(box[0], params,
+                                                    env.params, env.statics, T)
+
+    return measure(run, lambda: float(box[1]["reward_sum"]), N * T * iters)
+
+
+def _bench_train(env, make_runner_and_step, N, T, iters):
+    """Shared train-phase driver: one warmup step, then `iters` chained
+    steps per timed repeat."""
+    runner, step = make_runner_and_step()
+    runner, m = step(runner)
+    float(m["loss"])
+    box = [runner, m]
+
+    def run():
+        for _ in range(iters):
+            box[0], box[1] = step(box[0])
+
+    return measure(run, lambda: float(box[1]["loss"]), N * T * iters)
 
 
 def bench_train_pallas(env, N=65536, T=128, iters=6):
@@ -164,22 +236,19 @@ def bench_train_pallas(env, N=65536, T=128, iters=6):
     from drone_tpu import ppo_pallas
     from drone_tpu.models import ActorCritic
 
-    model = ActorCritic()
-    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
-                            num_minibatches=4)
-    opt = ppo_mod.make_optimizer(cfg)
-    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
-    runner = runner.replace(
-        opt_state=ppo_pallas.init_fused_opt_state(runner.params))
-    step = jax.jit(ppo_pallas.make_pallas_train_step(
-        opt, env.params, env.statics, cfg, fused_optimizer=True))
-    runner, m = step(runner)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        runner, m = step(runner)
-    float(m["loss"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    def mk():
+        model = ActorCritic()
+        cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                                num_minibatches=4)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        runner = runner.replace(
+            opt_state=ppo_pallas.init_fused_opt_state(runner.params))
+        step = jax.jit(ppo_pallas.make_pallas_train_step(
+            opt, env.params, env.statics, cfg, fused_optimizer=True))
+        return runner, step
+
+    return _bench_train(env, mk, N, T, iters)
 
 
 def bench_train_scan(env, N=65536, T=128, iters=4):
@@ -189,20 +258,17 @@ def bench_train_scan(env, N=65536, T=128, iters=4):
     from drone_tpu import ppo as ppo_mod
     from drone_tpu.models import ActorCritic
 
-    model = ActorCritic()
-    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
-                            num_minibatches=4)
-    opt = ppo_mod.make_optimizer(cfg)
-    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
-    step = jax.jit(ppo_mod.make_train_step(
-        model.apply, opt, env.params, env.statics, cfg))
-    runner, m = step(runner)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        runner, m = step(runner)
-    float(m["loss"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    def mk():
+        model = ActorCritic()
+        cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                                num_minibatches=4)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        step = jax.jit(ppo_mod.make_train_step(
+            model.apply, opt, env.params, env.statics, cfg))
+        return runner, step
+
+    return _bench_train(env, mk, N, T, iters)
 
 
 def bench_train_rnn_scan(env, N=65536, T=128, bptt=16, iters=2):
@@ -213,54 +279,50 @@ def bench_train_rnn_scan(env, N=65536, T=128, bptt=16, iters=2):
     from drone_tpu import ppo_rnn
     from drone_tpu.models import LSTMActorCritic
 
-    model = LSTMActorCritic()
-    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
-                            num_minibatches=4, bptt_horizon=bptt)
-    opt = ppo_mod.make_optimizer(cfg)
-    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
-    step = jax.jit(ppo_rnn.make_recurrent_train_step(
-        model.apply, opt, env.params, env.statics, cfg))
-    runner, m = step(runner)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        runner, m = step(runner)
-    float(m["loss"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    def mk():
+        model = LSTMActorCritic()
+        cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                                num_minibatches=4, bptt_horizon=bptt)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+        step = jax.jit(ppo_rnn.make_recurrent_train_step(
+            model.apply, opt, env.params, env.statics, cfg))
+        return runner, step
+
+    return _bench_train(env, mk, N, T, iters)
 
 
-def bench_train_cnn_pallas(env, N=65536, T=128, iters=3):
+def bench_train_cnn_pallas(env, N=65536, T=128, iters=4):
     """Fully-fused CNN (pixel) PPO train step (ppo_cnn_pallas: on-device
     render + patch-conv rollout kernel + GAE + conv fwd+bwd update kernel +
     fused adam) — the third policy family at kernel speed. The XLA scan
-    trainer cannot run this shape at all: materializing the conv
+    trainer cannot run the 64k shape at all: materializing the conv
     activations for 64k x 128 samples needs ~77 GB of HBM (measured: it
     OOMs 16 GB at 16k envs), while the kernels rematerialize pixels from
-    the 13-float obs in VMEM."""
+    the 13-float obs in VMEM. The 4k-env variant (see main) is the
+    same-shape kernel-vs-scan comparison."""
     from drone_tpu import ppo as ppo_mod
     from drone_tpu import ppo_cnn_pallas as PCP
     from drone_tpu.models import PatchCNNActorCritic
 
-    model = PatchCNNActorCritic()
-    geom = PCP.cnn_geom(model)
-    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
-                            num_minibatches=4)
-    opt = ppo_mod.make_optimizer(cfg)
-    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
-    runner = runner.replace(
-        opt_state=PCP.init_fused_opt_state(runner.params, geom))
-    step = jax.jit(PCP.make_pallas_cnn_train_step(
-        opt, env.params, env.statics, cfg, geom=geom, fused_optimizer=True))
-    runner, m = step(runner)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        runner, m = step(runner)
-    float(m["loss"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    def mk():
+        model = PatchCNNActorCritic()
+        geom = PCP.cnn_geom(model)
+        cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                                num_minibatches=4)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        runner = runner.replace(
+            opt_state=PCP.init_fused_opt_state(runner.params, geom))
+        step = jax.jit(PCP.make_pallas_cnn_train_step(
+            opt, env.params, env.statics, cfg, geom=geom,
+            fused_optimizer=True))
+        return runner, step
+
+    return _bench_train(env, mk, N, T, iters)
 
 
-def bench_train_cnn_scan(env, N=4096, T=128, iters=3):
+def bench_train_cnn_scan(env, N=4096, T=128, iters=4):
     """XLA scan PPO train step with the SAME PatchCNNActorCritic policy —
     the CNN megakernel's denominator. N=4096 is the largest batch the scan
     trainer fits on this chip (conv activations materialize to HBM; 16k
@@ -268,20 +330,17 @@ def bench_train_cnn_scan(env, N=4096, T=128, iters=3):
     from drone_tpu import ppo as ppo_mod
     from drone_tpu.models import PatchCNNActorCritic
 
-    model = PatchCNNActorCritic()
-    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
-                            num_minibatches=4)
-    opt = ppo_mod.make_optimizer(cfg)
-    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
-    step = jax.jit(ppo_mod.make_train_step(
-        model.apply, opt, env.params, env.statics, cfg))
-    runner, m = step(runner)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        runner, m = step(runner)
-    float(m["loss"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    def mk():
+        model = PatchCNNActorCritic()
+        cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                                num_minibatches=4)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        step = jax.jit(ppo_mod.make_train_step(
+            model.apply, opt, env.params, env.statics, cfg))
+        return runner, step
+
+    return _bench_train(env, mk, N, T, iters)
 
 
 def bench_train_rnn_pallas(env, N=65536, T=128, bptt=16, iters=4):
@@ -292,29 +351,27 @@ def bench_train_rnn_pallas(env, N=65536, T=128, bptt=16, iters=4):
     from drone_tpu import ppo_rnn, ppo_rnn_pallas
     from drone_tpu.models import LSTMActorCritic
 
-    model = LSTMActorCritic()
-    cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
-                            num_minibatches=4, bptt_horizon=bptt)
-    opt = ppo_mod.make_optimizer(cfg)
-    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
-    runner = runner.replace(
-        opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
-    step = jax.jit(ppo_rnn_pallas.make_pallas_rnn_train_step(
-        opt, env.params, env.statics, cfg, fused_optimizer=True))
-    runner, m = step(runner)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        runner, m = step(runner)
-    float(m["loss"])  # hard sync
-    return N * T * iters / (time.perf_counter() - t0)
+    def mk():
+        model = LSTMActorCritic()
+        cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                                num_minibatches=4, bptt_horizon=bptt)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+        runner = runner.replace(
+            opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
+        step = jax.jit(ppo_rnn_pallas.make_pallas_rnn_train_step(
+            opt, env.params, env.statics, cfg, fused_optimizer=True))
+        return runner, step
+
+    return _bench_train(env, mk, N, T, iters)
 
 
 def main(cfg=None):
     """cfg: optional drone_tpu Config (from the CLI); its [env] section picks
     the benchmarked task/integrator. The Pallas megakernel (which covers
-    every task x integrator) is always the headline metric; the fused-acting
-    and scan-rollout paths are reported on stderr."""
+    every task x integrator) is always the headline metric; every phase is
+    the median of REPEATS timed regions, with per-phase relative spreads in
+    the JSON."""
     import drone_tpu
 
     if cfg is not None:
@@ -324,20 +381,21 @@ def main(cfg=None):
     else:
         env = drone_tpu.DroneEnv(task="hover", integrator="euler")
 
-    mega = bench_megakernel(env)
-    acting = bench_acting_megakernel(env)
-    policy = bench_policy_rollout(env)
+    mega, mega_spread = med_spread(bench_megakernel(env))
     # secondary metrics ride INSIDE the headline JSON object so every round
     # is machine-comparable (VERDICT r2 weak #7); each is None if its bench
     # failed (the headline must survive)
-    secondary = {
-        "acting_megakernel_sps": round(acting, 1),
-        "scan_policy_rollout_sps": round(policy, 1),
-    }
+    secondary = {}
+    spread = {"headline": round(mega_spread, 4)}
+    phases = [
+        ("acting_megakernel_sps", lambda: bench_acting_megakernel(env)),
+        ("scan_policy_rollout_sps", lambda: bench_policy_rollout(env)),
+    ]
     if env.statics.task == "hover" and env.statics.integrator == "euler":
-        for key, fn in (
+        phases += [
             ("traj_rollout_sps", lambda: bench_traj_rollout(env)),
             ("lstm_acting_sps", lambda: bench_lstm_acting(env)),
+            ("cnn_acting_sps", lambda: bench_cnn_acting(env)),
             ("train_sps_64k", lambda: bench_train_pallas(env, N=65536)),
             ("scan_train_sps_64k", lambda: bench_train_scan(env, N=65536)),
             ("train_sps_262k", lambda: bench_train_pallas(env, N=262144)),
@@ -347,15 +405,20 @@ def main(cfg=None):
              lambda: bench_train_rnn_scan(env, N=65536)),
             ("cnn_train_sps_64k",
              lambda: bench_train_cnn_pallas(env, N=65536)),
+            ("cnn_train_sps_4k",
+             lambda: bench_train_cnn_pallas(env, N=4096)),
             ("scan_cnn_train_sps_4k",
              lambda: bench_train_cnn_scan(env, N=4096)),
-        ):
-            try:
-                secondary[key] = round(fn(), 1)
-            except Exception as e:  # pragma: no cover — keep headline alive
-                print(f"secondary bench {key} failed: {e!r:.200}",
-                      file=sys.stderr)
-                secondary[key] = None
+        ]
+    for key, fn in phases:
+        try:
+            m, s = med_spread(fn())
+            secondary[key] = round(m, 1)
+            spread[key] = round(s, 4)
+        except Exception as e:  # pragma: no cover — keep headline alive
+            print(f"secondary bench {key} failed: {e!r:.200}",
+                  file=sys.stderr)
+            secondary[key] = None
     parts = [f"{k}={v / 1e6:.1f}M" for k, v in secondary.items() if v]
     print("secondary: " + " ".join(parts), file=sys.stderr)
     target_per_chip = 100e6 / 16.0
@@ -365,6 +428,8 @@ def main(cfg=None):
         "unit": "steps/s",
         "vs_baseline": round(mega / target_per_chip, 3),
         "secondary": secondary,
+        "spread": spread,
+        "repeats": REPEATS,
     }))
 
 
