@@ -23,6 +23,7 @@ from drone_tpu.ops.pallas_acting_lstm import (  # noqa: F401
     traj_lstm_rollout_reference,
 )
 from drone_tpu.ops.pallas_acting_cnn import (  # noqa: F401
+    cnn_act_rollout_pallas,
     traj_cnn_rollout_pallas,
     traj_cnn_rollout_reference,
 )

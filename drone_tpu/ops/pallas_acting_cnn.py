@@ -91,6 +91,24 @@ class CnnGeom:
         return isinstance(other, CnnGeom) and self.key == other.key
 
 
+def cnn_encoder_weights(p, geom: CnnGeom):
+    """conv0/conv1/trunk params -> MXU-ready (W0 (c0, C*p0^2), b0 (c0, 1),
+    W1 (c1, p1^2*c0), b1 (c1, 1), Wt (hidden, n_q1*c1), bt (hidden, 1)).
+    The layout transforms documented on cnn_all_weights; shared by the CNN
+    and pixel-recurrent (cnn_lstm) weight extractors."""
+    k0 = jnp.asarray(p["conv0"]["kernel"], jnp.float32)   # (p0, p0, C, c0)
+    c0 = k0.shape[-1]
+    W0 = k0.transpose(2, 0, 1, 3).reshape(N_CHAN * geom.p0 * geom.p0, c0).T
+    b0 = jnp.asarray(p["conv0"]["bias"], jnp.float32).reshape(-1, 1)
+    k1 = jnp.asarray(p["conv1"]["kernel"], jnp.float32)   # (p1, p1, c0, c1)
+    c1 = k1.shape[-1]
+    W1 = k1.reshape(geom.p1 * geom.p1 * c0, c1).T
+    b1 = jnp.asarray(p["conv1"]["bias"], jnp.float32).reshape(-1, 1)
+    Wt = jnp.asarray(p["trunk"]["kernel"], jnp.float32).T
+    bt = jnp.asarray(p["trunk"]["bias"], jnp.float32).reshape(-1, 1)
+    return W0, b0, W1, b1, Wt, bt
+
+
 def cnn_all_weights(params, geom: CnnGeom):
     """PatchCNNActorCritic params -> MXU-ready kernel tensors.
 
@@ -107,16 +125,7 @@ def cnn_all_weights(params, geom: CnnGeom):
     - trunk consumes flax's flatten order (q = qi*g1 + qj, then channel).
     """
     p = params["params"] if "params" in params else params
-    k0 = jnp.asarray(p["conv0"]["kernel"], jnp.float32)   # (p0, p0, C, c0)
-    c0 = k0.shape[-1]
-    W0 = k0.transpose(2, 0, 1, 3).reshape(N_CHAN * geom.p0 * geom.p0, c0).T
-    b0 = jnp.asarray(p["conv0"]["bias"], jnp.float32).reshape(-1, 1)
-    k1 = jnp.asarray(p["conv1"]["kernel"], jnp.float32)   # (p1, p1, c0, c1)
-    c1 = k1.shape[-1]
-    W1 = k1.reshape(geom.p1 * geom.p1 * c0, c1).T
-    b1 = jnp.asarray(p["conv1"]["bias"], jnp.float32).reshape(-1, 1)
-    Wt = jnp.asarray(p["trunk"]["kernel"], jnp.float32).T
-    bt = jnp.asarray(p["trunk"]["bias"], jnp.float32).reshape(-1, 1)
+    W0, b0, W1, b1, Wt, bt = cnn_encoder_weights(p, geom)
     d = p["actor_mean"]
     head = (jnp.asarray(d["kernel"], jnp.float32).T,
             jnp.asarray(d["bias"], jnp.float32).reshape(-1, 1))
@@ -194,16 +203,19 @@ def conv1_patches(geom: CnnGeom):
     return out
 
 
-def cnn_forward(X, weights, gx, gy, geom: CnnGeom, dtype,
-                want_acts: bool = False):
-    """THE shared CNN tower (plane space): X (OBS_DIM, L) obs planes ->
-    (m (4, L) action means, v (1, L) values[, acts]) where acts =
+def cnn_encode(X, enc_weights, gx, gy, geom: CnnGeom, dtype,
+               want_acts: bool = False):
+    """THE shared patchify-CNN ENCODER (plane space): X (OBS_DIM, L) obs
+    planes -> h (hidden, L) relu trunk features[, acts] where acts =
     (sp, Y0 (n_q0, c0, L), Y1 (n_q1, c1, L), X2 (n_q1*c1, L), h) — the
-    residuals the update kernel's backward needs. gx/gy: (res^2, 1)
-    pixel-coordinate columns in patch-major row order (pixels.patch_grid).
-    One evaluation order for the rollout kernel, its mirror, the update
-    kernel, and the trainer's last-value — change here only."""
-    W0, b0, W1, b1, Wt, bt, head, vhead, _ = weights
+    residuals the conv backward needs (note acts[-1] is h, matching the
+    dense lstm_encoder convention that acts[-1] is the tower output).
+    enc_weights = (W0, b0, W1, b1, Wt, bt) with (out, 1) column biases;
+    gx/gy: (res^2, 1) pixel-coordinate columns in patch-major row order
+    (pixels.patch_grid). One evaluation order for every consumer — the CNN
+    rollout/update kernels and mirrors AND the pixel-recurrent (cnn_lstm)
+    kernels — change here only."""
+    W0, b0, W1, b1, Wt, bt = enc_weights
     dot = lambda a, b: _dot32(a, b, dtype)
     pp = geom.p0 * geom.p0
     sp = splat_planes(X)
@@ -217,11 +229,43 @@ def cnn_forward(X, weights, gx, gy, geom: CnnGeom, dtype,
         for ps in conv1_patches(geom)], axis=0)             # (n_q1, c1, L)
     X2 = jnp.concatenate([Y1[q] for q in range(geom.n_q1)], axis=0)
     h = jnp.maximum(dot(Wt, X2) + bt, 0.0)                  # (hidden, L)
+    if want_acts:
+        return h, (sp, Y0, Y1, X2, h)
+    return h
+
+
+def cnn_forward(X, weights, gx, gy, geom: CnnGeom, dtype,
+                want_acts: bool = False):
+    """THE shared CNN tower (plane space): X (OBS_DIM, L) obs planes ->
+    (m (4, L) action means, v (1, L) values[, acts]) — cnn_encode plus the
+    Gaussian/value heads. One evaluation order for the rollout kernel, its
+    mirror, the update kernel, and the trainer's last-value — change the
+    encoder in cnn_encode, the heads here."""
+    W0, b0, W1, b1, Wt, bt, head, vhead, _ = weights
+    dot = lambda a, b: _dot32(a, b, dtype)
+    h, acts = cnn_encode(X, (W0, b0, W1, b1, Wt, bt), gx, gy, geom, dtype,
+                         want_acts=True)
     m = dot(head[0], h) + head[1]                           # (4, L)
     v = dot(vhead[0], h) + vhead[1]                         # (1, L)
     if want_acts:
-        return m, v, (sp, Y0, Y1, X2, h)
+        return m, v, acts
     return m, v
+
+
+def infer_cnn_geom(p) -> CnnGeom:
+    """Patch geometry from parameter SHAPES (static at trace time): p is a
+    param dict holding conv0/conv1/trunk. kernel == stride is the module's
+    architectural invariant (models/cnn.py patch_cnn_trunk), so the shapes
+    determine the geometry: p0/p1 from the conv kernels, the grid side from
+    the trunk input. Used by the recurrent kernels to auto-detect the
+    pixel encoder from CNNLSTMActorCritic params."""
+    k0 = p["conv0"]["kernel"]
+    k1 = p["conv1"]["kernel"]
+    p0, p1, c1 = k0.shape[0], k1.shape[0], k1.shape[3]
+    trunk_in = p["trunk"]["kernel"].shape[0]
+    g1 = int(round((trunk_in // c1) ** 0.5))
+    assert g1 * g1 * c1 == trunk_in, (trunk_in, c1)
+    return CnnGeom(g1 * p1 * p0, p0, p1)
 
 
 def _cnn_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, ls_ref, gx_ref,
@@ -385,6 +429,146 @@ def traj_cnn_rollout_pallas(state: EnvState, policy_params,
         integrator=statics.integrator, geom=geom, interpret=interpret,
         stochastic=stochastic, compute_dtype=compute_dtype)
     return final, traj, PR._stats_dict(stats)
+
+
+def _cnn_act_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, ls_ref, gx_ref,
+                    gy_ref, *refs, T, task, integrator, geom, stochastic,
+                    compute_dtype):
+    # refs: W0 b0 W1 b1 Wt bt headW headb vheadW vheadb, then outputs:
+    # ofs, ous, ost, stats
+    w_refs, out_refs = refs[:10], refs[10:]
+    ofs_ref, ous_ref, ost_ref, stats_ref = out_refs
+    weights = (w_refs[0][:], w_refs[1][:], w_refs[2][:], w_refs[3][:],
+               w_refs[4][:], w_refs[5][:],
+               (w_refs[6][:], w_refs[7][:]), (w_refs[8][:], w_refs[9][:]),
+               None)
+    ls = [ls_ref[0, k] for k in range(4)]
+    gx = gx_ref[:]
+    gy = gy_ref[:]
+
+    P = PR._P(pf_ref, pi_ref)
+    c0 = PR.read_carry(fs_ref, us_ref, st_ref)
+    shape = c0[0].shape
+    L = shape[0] * 128
+    zero = jnp.zeros(shape, jnp.float32)
+    acc0 = (zero,) * PR.N_STATS
+
+    def body(t, carry):
+        c, acc = carry
+        X = PR.obs_matrix(c, L)
+        mx, _ = cnn_forward(X, weights, gx, gy, geom, compute_dtype)
+        m = [mx[k].reshape(shape) for k in range(4)]
+        if stochastic:
+            rc, k0, k1, stp = c[22], c[23], c[24], c[19]
+            z = _gauss4_planes(k0, k1, rc, stp, PR._uniform)
+            a, _ = _sample_logp(m, z, ls, stochastic)
+        else:
+            a = m
+        c2, r, done, epret2, step2 = PR._env_step(c, a[0], a[1], a[2], a[3],
+                                                  P, task, integrator)
+        return c2, PR.accumulate(acc, r, done, epret2, step2)
+
+    c, acc = jax.lax.fori_loop(0, T, body, (c0, acc0))
+    PR.write_back(c, acc, ofs_ref, ous_ref, ost_ref, stats_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "lanes_per_block", "task", "integrator", "geom",
+                     "interpret", "stochastic", "compute_dtype"),
+    donate_argnums=(0,),
+)
+def _act_run(state, env_params, weights, gx, gy, *, T, lanes_per_block,
+             task, integrator, geom, interpret=False, stochastic=False,
+             compute_dtype="float32"):
+    n = state.pos.shape[0]
+    fs, us, st = PR.pack_state(state, n // 128)
+    pf, pi = PR._pack_params(env_params)
+    rows = fs.shape[1]
+    rb = lanes_per_block // 128
+    nb = rows // rb
+    ls = weights[-1]
+    w_flat = [weights[0], weights[1], weights[2], weights[3], weights[4],
+              weights[5], weights[6][0], weights[6][1], weights[7][0],
+              weights[7][1]]
+    plane = lambda nf: pl.BlockSpec((nf, rb, 128), lambda i: (0, i, 0),
+                                    memory_space=pltpu.VMEM)
+
+    def full(shp):
+        return pl.BlockSpec(shp, lambda i: tuple(0 for _ in shp),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_cnn_act_kernel, T=T, task=task,
+                               integrator=integrator, geom=geom,
+                               stochastic=stochastic,
+                               compute_dtype=jnp.dtype(compute_dtype).type)
+    ofs, ous, ost, stats = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, PR._NP), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            plane(PR.NF), plane(PR.NU), plane(PR.NI),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full(gx.shape), full(gy.shape),
+            *[full(m.shape) for m in w_flat],
+        ],
+        out_specs=(plane(PR.NF), plane(PR.NU), plane(PR.NI),
+                   plane(PR.N_STATS)),
+        out_shape=(
+            jax.ShapeDtypeStruct(fs.shape, jnp.float32),
+            jax.ShapeDtypeStruct(us.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(st.shape, jnp.int32),
+            jax.ShapeDtypeStruct((PR.N_STATS, rows, 128), jnp.float32),
+        ),
+        # same scoped-VMEM story as the trajectory kernel: the per-step
+        # working set (all conv0 patch outputs + render blocks + trunk
+        # activations, ~12 MB at 1024 lanes) overruns the conservative
+        # 16 MB default; physical VMEM is far larger
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(pf, pi, fs, us, st, ls, gx, gy, *w_flat)
+    return PR.unpack_state(ofs, ous, ost), jnp.sum(stats, axis=(1, 2))
+
+
+def cnn_act_rollout_pallas(state: EnvState, policy_params,
+                           env_params: EnvParams, statics: EnvStatics,
+                           T: int, geom: CnnGeom | None = None,
+                           lanes_per_block: int | None = None,
+                           interpret: bool = False, stochastic: bool = False,
+                           compute_dtype: str = "float32"):
+    """Run T fused CNN-policy + env steps entirely on-chip, stats-only —
+    the pixel family's serving/eval configuration (the CNN twin of
+    ops/pallas_acting.act_rollout_pallas, wired into train.evaluate()).
+
+    Deterministic by default (action = policy mean); stochastic=True draws
+    exploration noise from the same counter stream as the trajectory
+    kernel. Pixels are rematerialized in-kernel from the 13-float obs —
+    serving costs zero image HBM traffic. Returns (final EnvState, stats
+    dict) — same contract as act_rollout_pallas.
+    Reference: SURVEY.md §3.3 (`puffer eval` serves every policy family
+    through the same rollout loop)."""
+    n = state.pos.shape[0]
+    geom = geom if geom is not None else CnnGeom(24, 4, 2)
+    from drone_tpu.pixels import patch_grid
+
+    gx, gy = patch_grid(geom.res, geom.p0)
+    weights = cnn_all_weights(policy_params, geom)
+    # per-step VMEM working set ~12 MB at 1024 lanes (Y0 dominates) — keep
+    # the lane block at the compiled minimum, as the trajectory kernel does
+    cap = 1024
+    if lanes_per_block is not None:
+        cap = min(cap, lanes_per_block)
+    lanes_per_block = PR.pick_lanes_per_block(n, cap)
+    PR.check_compiled_lane_block(lanes_per_block, n, interpret)
+    final, stats = _act_run(
+        state, env_params, weights, gx, gy, T=T,
+        lanes_per_block=lanes_per_block, task=statics.task,
+        integrator=statics.integrator, geom=geom, interpret=interpret,
+        stochastic=stochastic, compute_dtype=compute_dtype)
+    return final, PR._stats_dict(stats)
 
 
 def traj_cnn_rollout_reference(state: EnvState, policy_params,

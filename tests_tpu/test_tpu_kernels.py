@@ -498,6 +498,32 @@ def test_cnn_traj_kernel_vs_flax_on_tpu():
     assert np.isfinite(float(stats["reward_sum"]))
 
 
+def test_cnn_acting_kernel_compiled_on_tpu():
+    """Compiled stats-only CNN acting kernel (serving/eval path): runs on
+    silicon, episode accounting sane, and agrees with the deterministic
+    trajectory kernel's stats at the same seed (same tower, same env step —
+    only the plane outputs differ)."""
+    from drone_tpu.models import PatchCNNActorCritic
+    from drone_tpu.ops import cnn_act_rollout_pallas, traj_cnn_rollout_pallas
+
+    env = drone_tpu.DroneEnv()
+    model = PatchCNNActorCritic()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)))
+    N, T = 1024, 64
+    p = env.params.replace(horizon=jnp.int32(20))
+    fk, stats_a = cnn_act_rollout_pallas(
+        env.init_batch(9, N), params, p, env.statics, T)
+    _, _, stats_t = traj_cnn_rollout_pallas(
+        env.init_batch(9, N), params, p, env.statics, T, lanes_per_block=N,
+        stochastic=False)
+    assert float(stats_a["episodes"]) == float(stats_t["episodes"])
+    np.testing.assert_allclose(float(stats_a["reward_sum"]),
+                               float(stats_t["reward_sum"]),
+                               rtol=1e-4)
+    assert float(stats_a["episodes"]) >= N  # horizon 20, T=64: >= 2 per lane
+    assert np.isfinite(np.asarray(fk.pos)).all()
+
+
 def test_cnn_update_kernel_grads_on_tpu():
     """Compiled CNN update megakernel vs the jnp mirror on the chip
     (Mosaic vs XLA:TPU matmul pass structures -> bf16-scale tolerance)."""
