@@ -57,6 +57,51 @@ class CNNActorCritic(nn.Module):
         return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]
 
 
+def patch_cnn_trunk(obs, res, patch0, patch1, channels, hidden):
+    """The patchify-CNN feature tower as a compact-module helper: 13-obs ->
+    on-device render -> conv0 -> conv1 -> relu trunk features.
+
+    Called INSIDE a @nn.compact __call__, so the conv0/conv1/trunk
+    submodules register on the CALLING module — PatchCNNActorCritic and
+    CNNLSTMActorCritic share one tower definition AND one top-level param
+    naming (conv0/conv1/trunk), which the kernel weight extractors, the
+    DRNW exporter, and old checkpoints all rely on."""
+    from drone_tpu.pixels import obs_to_pixels
+
+    assert res % (patch0 * patch1) == 0, (res, patch0, patch1)
+    img = obs_to_pixels(jnp.asarray(obs, jnp.float32), res)
+    x = nn.relu(nn.Conv(channels[0], (patch0, patch0),
+                        strides=(patch0, patch0),
+                        padding="VALID", name="conv0")(img))
+    x = nn.relu(nn.Conv(channels[1], (patch1, patch1),
+                        strides=(patch1, patch1),
+                        padding="VALID", name="conv1")(x))
+    x = x.reshape((*x.shape[:-3], -1))
+    return nn.relu(nn.Dense(hidden, name="trunk")(x))
+
+
+class PatchCNNEncoder(nn.Module):
+    """Standalone patchify-CNN encoder module: obs -> feature vector.
+
+    The pluggable-encoder form of the pixel tower, for composing with
+    LSTMActorCritic(encoder_module=...) — the reference's LSTMWrapper wraps
+    ANY encoder (SURVEY.md §2.2 #10, `[U] pufferlib/models.py`); this is
+    the pixel one. (The flagship kernel-trainable pixel-recurrent policy is
+    CNNLSTMActorCritic in models/lstm.py, which inlines this tower for flat
+    param naming.)"""
+
+    res: int = 24
+    patch0: int = 4
+    patch1: int = 2
+    channels: Sequence[int] = (64, 64)
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, obs):
+        return patch_cnn_trunk(obs, self.res, self.patch0, self.patch1,
+                               self.channels, self.hidden)
+
+
 class PatchCNNActorCritic(nn.Module):
     """13-vector obs -> on-device pixel render -> PATCH-conv actor-critic:
     the CNN policy family's megakernel-trainable configuration.
@@ -87,21 +132,8 @@ class PatchCNNActorCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs):
-        from drone_tpu.pixels import obs_to_pixels
-
-        assert self.res % (self.patch0 * self.patch1) == 0, (
-            self.res, self.patch0, self.patch1)
-        img = obs_to_pixels(jnp.asarray(obs, jnp.float32), self.res)
-        x = nn.relu(nn.Conv(self.channels[0],
-                            (self.patch0, self.patch0),
-                            strides=(self.patch0, self.patch0),
-                            padding="VALID", name="conv0")(img))
-        x = nn.relu(nn.Conv(self.channels[1],
-                            (self.patch1, self.patch1),
-                            strides=(self.patch1, self.patch1),
-                            padding="VALID", name="conv1")(x))
-        x = x.reshape((*x.shape[:-3], -1))
-        x = nn.relu(nn.Dense(self.hidden, name="trunk")(x))
+        x = patch_cnn_trunk(obs, self.res, self.patch0, self.patch1,
+                            self.channels, self.hidden)
         mean = nn.Dense(
             self.act_dim,
             kernel_init=nn.initializers.orthogonal(0.01),

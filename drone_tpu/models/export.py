@@ -26,6 +26,9 @@ kind 2 render (int32 res, int32 n_chan=4, float32 sigma — the C runtime
 mirrors pixels.obs_to_pixels) and kind 3 conv (int32 h, w, cin, patch,
 cout, act, then W[patch*patch*cin*cout] in flax (kh, kw, cin, cout)
 C-order and b[cout] — kernel == stride over a row-major HWC image).
+Layer kinds chain freely, so the pixel-RECURRENT policy (CNNLSTMActorCritic:
+render + convs + trunk + lstm + head) is also a v3 file — the C runtime's
+layer loop (native/dronenet.c dronenet_forward) needs no new kinds.
 """
 
 from __future__ import annotations
@@ -52,6 +55,77 @@ def _dense(p, name, act):
             np.asarray(d["bias"], np.float32), act)
 
 
+def _conv_tower_layers(p, model):
+    """PatchCNN tower params -> [render, conv0, conv1, trunk-dense] layer
+    list (shared by the feedforward PatchCNNActorCritic and the recurrent
+    CNNLSTMActorCritic exports). Geometry is inferred from parameter shapes
+    and cross-checked; when `model` is given its res/patch0/patch1 are
+    authoritative (strides are not recorded in params — see
+    export_flat_weights)."""
+    from drone_tpu.pixels import SPLAT_SIGMA
+
+    if "conv2" in p or "conv1" not in p:
+        raise ValueError(
+            "CNN params are not a PatchCNNActorCritic tower (exactly "
+            "two patchify convs); overlapping-conv policies have no C "
+            "runtime — conv stride isn't recorded in params, so only "
+            "the known kernel==stride architecture is exportable")
+    k0 = np.asarray(p["conv0"]["kernel"], np.float32)
+    k1 = np.asarray(p["conv1"]["kernel"], np.float32)
+    p0, c_in, c0 = k0.shape[0], k0.shape[2], k0.shape[3]
+    p1, c1 = k1.shape[0], k1.shape[3]
+    trunk_in = np.asarray(p["trunk"]["kernel"]).shape[0]
+    if (k0.shape[1] != p0 or k1.shape[1] != p1 or c_in != N_CHAN
+            or k1.shape[2] != c0 or trunk_in % c1 != 0):
+        raise ValueError(
+            "CNN params are not a PatchCNNActorCritic tower "
+            f"(conv0 {k0.shape}, conv1 {k1.shape}, trunk_in {trunk_in})")
+    g1 = int(round((trunk_in // c1) ** 0.5))
+    if g1 * g1 * c1 != trunk_in:
+        raise ValueError(
+            f"trunk input {trunk_in} is not a square patch grid x {c1} "
+            "channels; only kernel==stride (patchify) CNNs have a C "
+            "runtime")
+    g0 = g1 * p1
+    res = g0 * p0
+    if model is not None:
+        # geometry from the model itself, not shape inference: conv
+        # STRIDES are not recorded in params, so an overlapping-conv
+        # tower can pass every shape cross-check above while computing
+        # a different function than the exported patchify network
+        m_res = getattr(model, "res", None)
+        m_p0 = getattr(model, "patch0", None)
+        m_p1 = getattr(model, "patch1", None)
+        if m_res is None or m_p0 is None or m_p1 is None:
+            raise ValueError(
+                f"model {type(model).__name__} has no patch geometry "
+                "(res/patch0/patch1): only kernel==stride "
+                "(PatchCNNActorCritic-family) policies have a C "
+                "runtime — overlapping-conv towers are not exportable")
+        if (m_res, m_p0, m_p1) != (res, p0, p1):
+            raise ValueError(
+                f"model geometry (res={m_res}, patch0={m_p0}, "
+                f"patch1={m_p1}) disagrees with the parameter shapes "
+                f"(inferred res={res}, p0={p0}, p1={p1}); params do "
+                "not belong to this model")
+    return [
+        ("render", res, N_CHAN, float(SPLAT_SIGMA)),
+        ("conv", res, res, N_CHAN, p0, c0, ACT_RELU,
+         k0.reshape(-1, c0), np.asarray(p["conv0"]["bias"], np.float32)),
+        ("conv", g0, g0, c0, p1, c1, ACT_RELU,
+         k1.reshape(-1, c1), np.asarray(p["conv1"]["bias"], np.float32)),
+        _dense(p, "trunk", ACT_RELU),
+    ]
+
+
+def _lstm_layer(p):
+    lp = p["lstm"]
+    wi = [np.asarray(lp[f"i{g}"]["kernel"], np.float32) for g in _GATES]
+    wh = [np.asarray(lp[f"h{g}"]["kernel"], np.float32) for g in _GATES]
+    bh = [np.asarray(lp[f"h{g}"]["bias"], np.float32) for g in _GATES]
+    return ("lstm", wi, wh, bh)
+
+
 def export_flat_weights(params, path: str, hidden=None, model=None) -> None:
     """Export the actor tower of a params pytree to `path`.
 
@@ -75,16 +149,20 @@ def export_flat_weights(params, path: str, hidden=None, model=None) -> None:
     del hidden
     p = params["params"] if "params" in params else params
     layers = []
-    if "lstm" in p:
+    if "lstm" in p and "conv0" in p:
+        # CNNLSTMActorCritic (pixel-recurrent): render + patchify convs +
+        # relu trunk + LSTM + actor head -> DRNW v3 (the C runtime chains
+        # layer kinds freely; the LSTM layer carries the recurrent state)
+        layers += _conv_tower_layers(p, model)
+        layers.append(_lstm_layer(p))
+        layers.append(_dense(p, "actor_mean", ACT_NONE))
+        version = 3
+    elif "lstm" in p:
         i = 0
         while f"enc_h{i}" in p:
             layers.append(_dense(p, f"enc_h{i}", ACT_TANH))
             i += 1
-        lp = p["lstm"]
-        wi = [np.asarray(lp[f"i{g}"]["kernel"], np.float32) for g in _GATES]
-        wh = [np.asarray(lp[f"h{g}"]["kernel"], np.float32) for g in _GATES]
-        bh = [np.asarray(lp[f"h{g}"]["bias"], np.float32) for g in _GATES]
-        layers.append(("lstm", wi, wh, bh))
+        layers.append(_lstm_layer(p))
         layers.append(_dense(p, "actor_mean", ACT_NONE))
         version = 2
     elif "conv0" in p:
@@ -93,60 +171,7 @@ def export_flat_weights(params, path: str, hidden=None, model=None) -> None:
         # the trunk input size — an overlapping-conv CNNActorCritic (whose
         # stride != kernel isn't recorded in the params) fails the check
         # instead of silently exporting a wrong network.
-        from drone_tpu.pixels import SPLAT_SIGMA
-
-        if "conv2" in p or "conv1" not in p:
-            raise ValueError(
-                "CNN params are not a PatchCNNActorCritic tower (exactly "
-                "two patchify convs); overlapping-conv policies have no C "
-                "runtime — conv stride isn't recorded in params, so only "
-                "the known kernel==stride architecture is exportable")
-        k0 = np.asarray(p["conv0"]["kernel"], np.float32)
-        k1 = np.asarray(p["conv1"]["kernel"], np.float32)
-        p0, c_in, c0 = k0.shape[0], k0.shape[2], k0.shape[3]
-        p1, c1 = k1.shape[0], k1.shape[3]
-        trunk_in = np.asarray(p["trunk"]["kernel"]).shape[0]
-        if (k0.shape[1] != p0 or k1.shape[1] != p1 or c_in != N_CHAN
-                or k1.shape[2] != c0 or trunk_in % c1 != 0):
-            raise ValueError(
-                "CNN params are not a PatchCNNActorCritic tower "
-                f"(conv0 {k0.shape}, conv1 {k1.shape}, trunk_in {trunk_in})")
-        g1 = int(round((trunk_in // c1) ** 0.5))
-        if g1 * g1 * c1 != trunk_in:
-            raise ValueError(
-                f"trunk input {trunk_in} is not a square patch grid x {c1} "
-                "channels; only kernel==stride (patchify) CNNs have a C "
-                "runtime")
-        g0 = g1 * p1
-        res = g0 * p0
-        if model is not None:
-            # geometry from the model itself, not shape inference: conv
-            # STRIDES are not recorded in params, so an overlapping-conv
-            # tower can pass every shape cross-check above while computing
-            # a different function than the exported patchify network
-            m_res = getattr(model, "res", None)
-            m_p0 = getattr(model, "patch0", None)
-            m_p1 = getattr(model, "patch1", None)
-            if m_res is None or m_p0 is None or m_p1 is None:
-                raise ValueError(
-                    f"model {type(model).__name__} has no patch geometry "
-                    "(res/patch0/patch1): only kernel==stride "
-                    "(PatchCNNActorCritic-family) policies have a C "
-                    "runtime — overlapping-conv towers are not exportable")
-            if (m_res, m_p0, m_p1) != (res, p0, p1):
-                raise ValueError(
-                    f"model geometry (res={m_res}, patch0={m_p0}, "
-                    f"patch1={m_p1}) disagrees with the parameter shapes "
-                    f"(inferred res={res}, p0={p0}, p1={p1}); params do "
-                    "not belong to this model")
-        layers.append(("render", res, N_CHAN, float(SPLAT_SIGMA)))
-        layers.append(("conv", res, res, N_CHAN, p0, c0, ACT_RELU,
-                       k0.reshape(-1, c0),
-                       np.asarray(p["conv0"]["bias"], np.float32)))
-        layers.append(("conv", g0, g0, c0, p1, c1, ACT_RELU,
-                       k1.reshape(-1, c1),
-                       np.asarray(p["conv1"]["bias"], np.float32)))
-        layers.append(_dense(p, "trunk", ACT_RELU))
+        layers += _conv_tower_layers(p, model)
         layers.append(_dense(p, "actor_mean", ACT_NONE))
         version = 3
     else:

@@ -77,6 +77,25 @@ def lstm_encoder(X, enc, dot):
     return acts
 
 
+def encode_features(X, enc, dot, encoder="dense", geom=None, gx=None,
+                    gy=None, dtype=jnp.float32):
+    """THE policy feature tower switch: X (OBS_DIM, L) -> LSTM input.
+
+    encoder="dense": the tanh dense stack (lstm_encoder; enc = [(W, b_col)
+    ...]). encoder="cnn": the patchify-CNN trunk (pixel-recurrent family;
+    enc = [(W0, b0), (W1, b1), (Wt, bt)] column-bias pairs, routed through
+    pallas_acting_cnn.cnn_encode — the SAME shared function the CNN
+    rollout/update kernels evaluate, one evaluation order everywhere).
+    Shared verbatim by the recurrent rollout kernels, their jnp mirrors,
+    and the BPTT update kernel."""
+    if encoder == "dense":
+        return lstm_encoder(X, enc, dot)[-1]
+    from drone_tpu.ops.pallas_acting_cnn import cnn_encode
+
+    flat = (enc[0][0], enc[0][1], enc[1][0], enc[1][1], enc[2][0], enc[2][1])
+    return cnn_encode(X, flat, gx, gy, geom, dtype)
+
+
 def lstm_gates(x, h, cc, wi, wh, bh, dot):
     """THE shared LSTM gate block (flax LSTMCell semantics, plane space):
     x (in, L) encoder output, h/cc (H, L) carry, wi/wh 4 gate kernels,
@@ -93,13 +112,38 @@ def lstm_gates(x, h, cc, wi, wh, bh, dot):
     return gi, gf, gg, go, cc2, th, h2
 
 
+def lstm_encoder_kind(params):
+    """(encoder kind, CnnGeom|None) from the param structure — static at
+    trace time (dict keys, array shapes). "cnn" = the pixel-recurrent
+    CNNLSTMActorCritic (conv0/conv1/trunk tower); "dense" otherwise."""
+    p = params["params"] if "params" in params else params
+    if "conv0" in p:
+        from drone_tpu.ops.pallas_acting_cnn import infer_cnn_geom
+
+        return "cnn", infer_cnn_geom(p)
+    return "dense", None
+
+
 def lstm_weights(params):
     """LSTMActorCritic params -> (enc [(W^T, b)...], wi[4] (H,in), wh[4]
-    (H,H), bh[4] (H,), head (4, H) + b (4,))."""
+    (H,H), bh[4] (H,), head (4, H) + b (4,)). For the pixel-recurrent
+    CNNLSTMActorCritic, enc is the 3 MXU-ready conv-tower pairs
+    [(W0, b0), (W1, b1), (Wt, bt)] with 1-D biases (columnized by the
+    kernels exactly like the dense pairs)."""
     from drone_tpu.ops.pallas_acting import dense_tower
 
     p = params["params"] if "params" in params else params
-    enc = dense_tower(p, "enc_h")
+    if "conv0" in p:
+        from drone_tpu.ops.pallas_acting_cnn import (
+            cnn_encoder_weights,
+            infer_cnn_geom,
+        )
+
+        W0, b0, W1, b1, Wt, bt = cnn_encoder_weights(p, infer_cnn_geom(p))
+        enc = [(W0, b0.reshape(-1)), (W1, b1.reshape(-1)),
+               (Wt, bt.reshape(-1))]
+    else:
+        enc = dense_tower(p, "enc_h")
     lp = p["lstm"]
     wi = tuple(jnp.asarray(lp[f"i{g}"]["kernel"], jnp.float32).T
                for g in _GATES)
@@ -113,10 +157,11 @@ def lstm_weights(params):
 
 
 def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
-            T, task, integrator, n_enc):
-    # refs: 2*n_enc enc refs, 4 wi, 4 wh, 4 bh, head W, head b, then
-    # outputs: ofs, ous, ost, oh, oc, stats
-    n_w = 2 * n_enc + 14
+            T, task, integrator, n_enc, encoder="dense", geom=None):
+    # refs: 2*n_enc enc refs, 4 wi, 4 wh, 4 bh, head W, head b
+    # [, gx, gy when encoder == "cnn"], then outputs: ofs, ous, ost, oh,
+    # oc, stats
+    n_w = 2 * n_enc + 14 + (2 if encoder == "cnn" else 0)
     w_refs, out_refs = refs[:n_w], refs[n_w:]
     ofs_ref, ous_ref, ost_ref, oh_ref, oc_ref, stats_ref = out_refs
     enc = [(w_refs[2 * i][:], w_refs[2 * i + 1][:]) for i in range(n_enc)]
@@ -125,6 +170,8 @@ def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
     bh = [w_refs[2 * n_enc + 8 + g][:] for g in range(4)]
     head_w = w_refs[2 * n_enc + 12][:]
     head_b = w_refs[2 * n_enc + 13][:]
+    gx = w_refs[2 * n_enc + 14][:] if encoder == "cnn" else None
+    gy = w_refs[2 * n_enc + 15][:] if encoder == "cnn" else None
 
     P = PR._P(pf_ref, pi_ref)
     s0 = PR.read_carry(fs_ref, us_ref, st_ref)
@@ -152,7 +199,8 @@ def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
 
     def body(t, carry):
         s, h, cc, acc = carry
-        x = lstm_encoder(PR.obs_matrix(s, L), enc_c, dot)[-1]
+        x = encode_features(PR.obs_matrix(s, L), enc_c, dot, encoder, geom,
+                            gx, gy)
         *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mean = dot(head_w, h2) + head_b[:, None]  # (4, L)
         a0 = mean[0].reshape(shape)
@@ -177,13 +225,13 @@ def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "lanes_per_block", "task", "integrator",
-                     "n_enc", "interpret"),
+                     "n_enc", "interpret", "encoder", "geom"),
     # donate only the env state: initial_carry aliases one zeros buffer as
     # both h and c, and donating the same buffer twice is a runtime error
     donate_argnums=(0,),
 )
 def _run(state, carry, weights, params, *, T, lanes_per_block, task,
-         integrator, n_enc, interpret=False):
+         integrator, n_enc, interpret=False, encoder="dense", geom=None):
     n = state.pos.shape[0]
     fs, us, st = PR.pack_state(state, n // 128)
     pf, pi = PR._pack_params(params)
@@ -206,8 +254,13 @@ def _run(state, carry, weights, params, *, T, lanes_per_block, task,
 
     w_flat = ([m for wb in enc for m in wb] + list(wi) + list(wh) + list(bh)
               + [head[0], head[1]])
+    if encoder == "cnn":
+        from drone_tpu.pixels import patch_grid
+
+        gx, gy = patch_grid(geom.res, geom.p0)
+        w_flat += [gx, gy]
     kernel = functools.partial(_kernel, T=T, task=task, integrator=integrator,
-                               n_enc=n_enc)
+                               n_enc=n_enc, encoder=encoder, geom=geom)
     ofs, ous, ost, oh, oc, stats = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -229,6 +282,12 @@ def _run(state, carry, weights, params, *, T, lanes_per_block, task,
             jax.ShapeDtypeStruct((hidden, n), jnp.float32),
             jax.ShapeDtypeStruct((PR.N_STATS, rows, 128), jnp.float32),
         ),
+        # the CNN encoder's per-step working set (~12 MB at 1024 lanes)
+        # overruns the conservative 16 MB scoped-vmem default (same raise
+        # as the CNN kernels); the dense path keeps the default
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if encoder == "cnn"
+            else None),
         interpret=interpret,
     )(pf, pi, fs, us, st, h0, c0, *w_flat)
     out_carry = (oc.reshape(hidden, n).T, oh.reshape(hidden, n).T)  # (c, h)

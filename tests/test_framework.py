@@ -189,6 +189,41 @@ def test_c_forward_matches_flax_cnn(tmp_path, demo_binary):
             rtol=1e-5, atol=1e-6)
 
 
+def test_c_forward_matches_flax_cnn_lstm(tmp_path, demo_binary):
+    """libdronenet pixel-recurrent forward (DRNW v3: render + patchify
+    convs + relu trunk + LSTM + head) tracks flax CNNLSTMActorCritic over a
+    multi-step sequence with a mid-sequence reset — the fourth policy
+    family deployable to the pure-C demo (LSTMWrapper-over-CNN parity,
+    SURVEY.md:158)."""
+    from drone_tpu.models import CNNLSTMActorCritic
+
+    model = CNNLSTMActorCritic(res=8, patch0=2, patch1=2, channels=(8, 8),
+                               trunk_hidden=16, hidden=8)
+    carry = model.initial_carry((1,))
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((1, 13)), carry)
+    path = tmp_path / "w.drnw"
+    export_flat_weights(params, str(path), model=model)
+    layers = load_flat_weights(str(path))
+    assert [l[0] for l in layers] == ["render", "conv", "conv", "dense",
+                                      "lstm", "dense"]
+    lib, net = _ctypes_net(path)
+
+    state = np.zeros(2 * 8, np.float32)  # h + c for hidden=8
+    rng = np.random.RandomState(4)
+    obs = rng.randn(12, 13).astype(np.float32)
+    obs[:, 3:7] /= np.linalg.norm(obs[:, 3:7], axis=1, keepdims=True)
+    for t in range(12):
+        if t == 6:  # episode boundary: both sides reset their carry
+            state[:] = 0.0
+            carry = model.initial_carry((1,))
+        mean, _, _, carry = model.apply(params, jnp.asarray(obs[t:t + 1]),
+                                        carry)
+        c_out = _c_forward(lib, net, obs[t], state)
+        np.testing.assert_allclose(
+            c_out, np.asarray(mean[0]), rtol=2e-5, atol=2e-5,
+            err_msg=f"diverged at t={t}")
+
+
 def test_export_rejects_overlapping_cnn(tmp_path):
     """Conv stride isn't recorded in flax params, so only the known
     PatchCNNActorCritic architecture (exactly two patchify convs) is
