@@ -212,6 +212,31 @@ def bench_cnn_acting(env, N=131072, T=256, iters=2):
     return measure(run, lambda: float(box[1]["reward_sum"]), N * T * iters)
 
 
+def bench_cnn_lstm_acting(env, N=131072, T=256, iters=2):
+    """Fused pixel-RECURRENT acting kernel (CNN encoder + LSTM + env in one
+    kernel — the cnn_lstm family's serving path)."""
+    from drone_tpu.models import CNNLSTMActorCritic
+    from drone_tpu.ops import lstm_act_rollout_pallas
+
+    model = CNNLSTMActorCritic()
+    carry = model.initial_carry((N,))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, env.obs_dim), jnp.float32),
+        jax.tree_util.tree_map(lambda c: c[:1], carry))
+    state = env.init_batch(0, N)
+    state, carry, stats = lstm_act_rollout_pallas(
+        state, params, carry, env.params, env.statics, T)
+    float(stats["reward_sum"])
+    box = [state, carry, stats]
+
+    def run():
+        for _ in range(iters):
+            box[0], box[1], box[2] = lstm_act_rollout_pallas(
+                box[0], params, box[1], env.params, env.statics, T)
+
+    return measure(run, lambda: float(box[2]["reward_sum"]), N * T * iters)
+
+
 def _bench_train(env, make_runner_and_step, N, T, iters):
     """Shared train-phase driver: one warmup step, then `iters` chained
     steps per timed repeat."""
@@ -343,16 +368,45 @@ def bench_train_cnn_scan(env, N=4096, T=128, iters=4):
     return _bench_train(env, mk, N, T, iters)
 
 
-def bench_train_rnn_pallas(env, N=65536, T=128, bptt=16, iters=4):
-    """Fully-fused RECURRENT PPO train step (ppo_rnn_pallas: LSTM rollout
-    kernel + GAE + truncated-BPTT update kernel + fused adam) — the
-    recurrent analogue of bench_train_pallas."""
+def bench_train_cnn_overlap_scan(env, N=65536, T=128, iters=2,
+                                 grad_accum=16):
+    """XLA scan PPO train step with the OVERLAPPING-conv pixel policy
+    (PixelActorCritic) at the 64k production batch: grad_accum chunks the
+    minibatch forward+backward so the conv-activation working set fits HBM
+    (without it the update materializes ~38 GB of autodiff residuals per
+    minibatch and OOMs 16 GB at 16k envs). Overlapping convs have no
+    megakernel BY DESIGN (gather/halo machinery); this is their production
+    path."""
     from drone_tpu import ppo as ppo_mod
-    from drone_tpu import ppo_rnn, ppo_rnn_pallas
-    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu.models import PixelActorCritic
 
     def mk():
-        model = LSTMActorCritic()
+        model = PixelActorCritic()
+        cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
+                                num_minibatches=4, grad_accum=grad_accum)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        step = jax.jit(ppo_mod.make_train_step(
+            model.apply, opt, env.params, env.statics, cfg))
+        return runner, step
+
+    return _bench_train(env, mk, N, T, iters)
+
+
+def bench_train_rnn_pallas(env, N=65536, T=128, bptt=16, iters=4,
+                           policy="lstm"):
+    """Fully-fused RECURRENT PPO train step (ppo_rnn_pallas: LSTM rollout
+    kernel + GAE + truncated-BPTT update kernel + fused adam) — the
+    recurrent analogue of bench_train_pallas. policy="cnn_lstm" benches
+    the pixel-recurrent family through the same trainer (the kernels'
+    CNN-encoder hook)."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_rnn, ppo_rnn_pallas
+    from drone_tpu.models import CNNLSTMActorCritic, LSTMActorCritic
+
+    def mk():
+        model = (CNNLSTMActorCritic() if policy == "cnn_lstm"
+                 else LSTMActorCritic())
         cfg = ppo_mod.PPOConfig(horizon=T, num_envs=N, epochs=4,
                                 num_minibatches=4, bptt_horizon=bptt)
         opt = ppo_mod.make_optimizer(cfg)
@@ -396,6 +450,7 @@ def main(cfg=None):
             ("traj_rollout_sps", lambda: bench_traj_rollout(env)),
             ("lstm_acting_sps", lambda: bench_lstm_acting(env)),
             ("cnn_acting_sps", lambda: bench_cnn_acting(env)),
+            ("cnn_lstm_acting_sps", lambda: bench_cnn_lstm_acting(env)),
             ("train_sps_64k", lambda: bench_train_pallas(env, N=65536)),
             ("scan_train_sps_64k", lambda: bench_train_scan(env, N=65536)),
             ("train_sps_262k", lambda: bench_train_pallas(env, N=262144)),
@@ -403,12 +458,17 @@ def main(cfg=None):
              lambda: bench_train_rnn_pallas(env, N=65536)),
             ("scan_lstm_train_sps_64k",
              lambda: bench_train_rnn_scan(env, N=65536)),
+            ("cnn_lstm_train_sps_64k",
+             lambda: bench_train_rnn_pallas(env, N=65536, iters=3,
+                                            policy="cnn_lstm")),
             ("cnn_train_sps_64k",
              lambda: bench_train_cnn_pallas(env, N=65536)),
             ("cnn_train_sps_4k",
              lambda: bench_train_cnn_pallas(env, N=4096)),
             ("scan_cnn_train_sps_4k",
              lambda: bench_train_cnn_scan(env, N=4096)),
+            ("scan_cnn_overlap_train_sps_64k",
+             lambda: bench_train_cnn_overlap_scan(env, N=65536)),
         ]
     for key, fn in phases:
         try:

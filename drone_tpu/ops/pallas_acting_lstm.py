@@ -307,10 +307,11 @@ def lstm_all_weights(params):
 
 def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
                       ls_ref, *refs, tc, bptt, task, integrator, n_enc,
-                      stochastic):
-    # refs: 2*n_enc enc, 4 wi, 4 wh, 4 bh, head W/b, vhead W/b, then
-    # outputs: traj, snap, ofs, ous, ost, oh, oc, stats
-    n_w = 2 * n_enc + 16
+                      stochastic, encoder="dense", geom=None):
+    # refs: 2*n_enc enc, 4 wi, 4 wh, 4 bh, head W/b, vhead W/b
+    # [, gx, gy when encoder == "cnn"], then outputs: traj, snap, ofs,
+    # ous, ost, oh, oc, stats
+    n_w = 2 * n_enc + 16 + (2 if encoder == "cnn" else 0)
     w_refs, out_refs = refs[:n_w], refs[n_w:]
     (traj_ref, snap_ref, ofs_ref, ous_ref, ost_ref, oh_ref, oc_ref,
      stats_ref) = out_refs
@@ -322,6 +323,8 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
     head_b = w_refs[2 * n_enc + 13][:]
     vh_w = w_refs[2 * n_enc + 14][:]
     vh_b = w_refs[2 * n_enc + 15][:]
+    gx = w_refs[2 * n_enc + 16][:] if encoder == "cnn" else None
+    gy = w_refs[2 * n_enc + 17][:] if encoder == "cnn" else None
     ls = [ls_ref[0, k] for k in range(4)]
 
     t = pl.program_id(1)
@@ -368,7 +371,7 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
     def body(s, carry):
         c, h, cc, acc = carry
         X = PR.obs_matrix(c, L)
-        x = lstm_encoder(X, enc_c, dot)[-1]
+        x = encode_features(X, enc_c, dot, encoder, geom, gx, gy)
         *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mx = dot(head_w, h2) + head_b[:, None]     # (4, L)
         vx = dot(vh_w, h2) + vh_b[:, None]         # (1, L)
@@ -402,12 +405,13 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "tc", "bptt", "lanes_per_block", "task",
-                     "integrator", "n_enc", "interpret", "stochastic"),
+                     "integrator", "n_enc", "interpret", "stochastic",
+                     "encoder", "geom"),
     donate_argnums=(0,),
 )
 def _traj_run(state, carry, weights, ls, params, *, T, tc, bptt,
               lanes_per_block, task, integrator, n_enc, interpret=False,
-              stochastic=True):
+              stochastic=True, encoder="dense", geom=None):
     n = state.pos.shape[0]
     fs, us, st = PR.pack_state(state, n // 128)
     pf, pi = PR._pack_params(params)
@@ -431,9 +435,15 @@ def _traj_run(state, carry, weights, ls, params, *, T, tc, bptt,
 
     w_flat = ([m for wb in enc for m in wb] + list(wi) + list(wh) + list(bh)
               + [head[0], head[1], vhead[0], vhead[1]])
+    if encoder == "cnn":
+        from drone_tpu.pixels import patch_grid
+
+        gx, gy = patch_grid(geom.res, geom.p0)
+        w_flat += [gx, gy]
     kernel = functools.partial(_lstm_traj_kernel, tc=tc, bptt=bptt,
                                task=task, integrator=integrator, n_enc=n_enc,
-                               stochastic=stochastic)
+                               stochastic=stochastic, encoder=encoder,
+                               geom=geom)
     traj, snap, ofs, ous, ost, oh, oc, stats = pl.pallas_call(
         kernel,
         grid=(nb, nt),
@@ -470,6 +480,11 @@ def _traj_run(state, carry, weights, ls, params, *, T, tc, bptt,
             jax.ShapeDtypeStruct((hidden, n), jnp.float32),
             jax.ShapeDtypeStruct((PR.N_STATS, rows, 128), jnp.float32),
         ),
+        # CNN-encoder working set over the conservative scoped-vmem default
+        # (same raise as the CNN trajectory kernel); dense keeps the default
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if encoder == "cnn"
+            else None),
         interpret=interpret,
     )(pf, pi, fs, us, st, h0, c0, ls, *w_flat)
     out_carry = (oc.reshape(hidden, n).T, oh.reshape(hidden, n).T)  # (c, h)
@@ -502,14 +517,18 @@ def traj_lstm_rollout_pallas(state: EnvState, policy_params, carry,
     are reproducible and collision-free across chained calls."""
     n = state.pos.shape[0]
     enc, wi, wh, bh, head, vhead, ls = lstm_all_weights(policy_params)
+    encoder, geom = lstm_encoder_kind(policy_params)
     hidden = wh[0].shape[0]
     bptt = bptt if bptt else T
     assert T % bptt == 0, (T, bptt)
     # (h, c) carry + snapshot + trajectory block working set: same
     # hidden*lanes <= 128k f32 budget as the acting kernel (at H=128 /
     # L=1024 the whole set is ~5 MB incl. double-buffered traj chunks),
-    # floored at 1024 so compiled runs always have a legal lane block
-    cap = max(1024, (131072 // max(hidden, 1)) // 128 * 128)
+    # floored at 1024 so compiled runs always have a legal lane block.
+    # The CNN encoder's per-step working set (~12 MB at 1024 lanes, Y0
+    # dominating) pins the pixel-recurrent family at the compiled minimum.
+    cap = (1024 if encoder == "cnn"
+           else max(1024, (131072 // max(hidden, 1)) // 128 * 128))
     if lanes_per_block is not None:
         cap = min(cap, lanes_per_block)
     lanes_per_block = PR.pick_lanes_per_block(n, min(8192, cap))
@@ -535,7 +554,8 @@ def traj_lstm_rollout_pallas(state: EnvState, policy_params, carry,
         state, tuple(carry), (tuple(enc), wi, wh, bh, head, vhead), ls,
         env_params, T=T, tc=tc, bptt=bptt, lanes_per_block=lanes_per_block,
         task=statics.task, integrator=statics.integrator, n_enc=len(enc),
-        interpret=interpret, stochastic=stochastic)
+        interpret=interpret, stochastic=stochastic, encoder=encoder,
+        geom=geom)
     if seg_layout == "planes":
         seg = snap
     else:
@@ -556,6 +576,13 @@ def traj_lstm_rollout_reference(state: EnvState, policy_params, carry,
     seg_layout as in traj_lstm_rollout_pallas ("planes" -> (S, 2, H, N))."""
     n = state.pos.shape[0]
     enc, wi, wh, bh, head, vhead, ls_row = lstm_all_weights(policy_params)
+    encoder, geom = lstm_encoder_kind(policy_params)
+    if encoder == "cnn":
+        from drone_tpu.pixels import patch_grid
+
+        gx, gy = patch_grid(geom.res, geom.p0)
+    else:
+        gx = gy = None
     hidden = wh[0].shape[0]
     bptt = bptt if bptt else T
     assert T % bptt == 0, (T, bptt)
@@ -573,7 +600,7 @@ def traj_lstm_rollout_reference(state: EnvState, policy_params, carry,
         s, h, cc = c
         obs = jax.vmap(env_mod.observe)(s)            # (B, OBS_DIM)
         X = obs.T
-        x = lstm_encoder(X, enc_c, dot)[-1]
+        x = encode_features(X, enc_c, dot, encoder, geom, gx, gy)
         *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mx = dot(head[0], h2) + head[1][:, None]
         vx = dot(vhead[0], h2) + vhead[1][:, None]
@@ -628,10 +655,14 @@ def lstm_act_rollout_pallas(state: EnvState, policy_params, carry,
     Returns (final EnvState, final carry, stats dict)."""
     n = state.pos.shape[0]
     weights = lstm_weights(policy_params)
+    encoder, geom = lstm_encoder_kind(policy_params)
     hidden = weights[1][0].shape[0]
     # floored at 1024 like traj_lstm_rollout_pallas: compiled runs need a
-    # 1024-aligned lane block regardless of the hidden*lanes VMEM heuristic
-    cap = max(1024, (131072 // max(hidden, 1)) // 128 * 128)
+    # 1024-aligned lane block regardless of the hidden*lanes VMEM heuristic;
+    # the CNN encoder's working set pins the pixel-recurrent family at the
+    # compiled minimum
+    cap = (1024 if encoder == "cnn"
+           else max(1024, (131072 // max(hidden, 1)) // 128 * 128))
     if lanes_per_block is not None:
         cap = min(cap, lanes_per_block)
     lanes_per_block = PR.pick_lanes_per_block(n, min(8192, cap))
@@ -640,5 +671,5 @@ def lstm_act_rollout_pallas(state: EnvState, policy_params, carry,
         state, tuple(carry), weights, env_params, T=T,
         lanes_per_block=lanes_per_block, task=statics.task,
         integrator=statics.integrator, n_enc=len(weights[0]),
-        interpret=interpret)
+        interpret=interpret, encoder=encoder, geom=geom)
     return final, out_carry, PR._stats_dict(stats)

@@ -52,46 +52,23 @@ from drone_tpu.ops.pallas_update import (
 N_CNN_TENSORS = 11  # incl. the trailing (1, 4) log_std
 
 
-def _cnn_block_grads(X, a, logp_old, v_old, adv, ret, weights, gx, gy,
-                     geom: CnnGeom, ls, co, dtype):
-    """Forward + hand-written backward for one sample block.
-
-    X: (OBS_DIM, S) obs planes (S = tc*rbu*128); a/logp_old/v_old/adv/ret:
-    per-sample planes; weights: cnn_all_weights tuple (ls slot unused);
-    gx/gy: (res^2, 1) patch-major pixel-coordinate columns; ls: 4 log_std
-    scalars. Every op runs identically inside the Mosaic kernel and in the
-    jnp mirror — this function IS the bitwise contract (head math in
-    `_head_grads`, shared with the MLP/LSTM update kernels).
-
-    Returns (grad list matching the kernel tensor order WITHOUT log_std,
-    stat planes tuple of N_UPSTATS).
-    """
+def cnn_encoder_bwd(dh, acts, enc_weights, gx, gy, geom: CnnGeom, dtype):
+    """Hand-written backward of the patchify-CNN encoder (cnn_encode):
+    dh (hidden, S) = d loss / d encoder output -> [gW0, gb0, gW1, gb1,
+    gWt, gbt]. acts = (sp, Y0, Y1, X2, h) from cnn_encode(want_acts=True).
+    Shared VERBATIM by _cnn_block_grads (the feedforward CNN update) and
+    the pixel-recurrent BPTT update (ops/pallas_update_lstm._segment_grads)
+    — one evaluation order, the bitwise kernel/mirror contract."""
     from drone_tpu.ops.pallas_acting_traj import _dot32
 
-    W0, b0, W1, b1, Wt, bt, head, vhead, _ = weights
+    W0, b0, W1, b1, Wt, bt = enc_weights
     dot = lambda p, q: _dot32(p, q, dtype)
-    S = X.shape[1]
-    shape = a[0].shape
+    sp, Y0, Y1, X2, h = acts
     c0 = W0.shape[0]
     c1 = W1.shape[0]
     pp = geom.p0 * geom.p0
 
-    mx, vx, (sp, Y0, Y1, X2, h) = cnn_forward(X, weights, gx, gy, geom,
-                                              dtype, want_acts=True)
-    m = [mx[k].reshape(shape) for k in range(4)]
-    v = vx[0].reshape(shape)
-    dm, g_v, stats = _head_grads(m, v, a, logp_old, v_old, adv, ret, ls, co)
-
-    # -- heads ---------------------------------------------------------------
-    dmx = jnp.stack(dm).reshape(4, S)
-    dvx = g_v.reshape(1, S)
-    gHw = dot(dmx, h.T)
-    gHb = jnp.sum(dmx, axis=1, keepdims=True)
-    gVw = dot(dvx, h.T)
-    gVb = jnp.sum(dvx, axis=1, keepdims=True)
-
     # -- trunk ---------------------------------------------------------------
-    dh = dot(head[0].T, dmx) + dot(vhead[0].T, dvx)
     dzt = dh * (h > 0.0).astype(jnp.float32)
     gWt = dot(dzt, X2.T)
     gbt = jnp.sum(dzt, axis=1, keepdims=True)
@@ -124,7 +101,50 @@ def _cnn_block_grads(X, a, logp_old, v_old, adv, ret, weights, gx, gy,
         gW0 = gW0 + dot(dz0, X0_p.T)
         gb0 = gb0 + jnp.sum(dz0, axis=1, keepdims=True)
 
-    grads = [gW0, gb0, gW1, gb1, gWt, gbt, gHw, gHb, gVw, gVb]
+    return [gW0, gb0, gW1, gb1, gWt, gbt]
+
+
+def _cnn_block_grads(X, a, logp_old, v_old, adv, ret, weights, gx, gy,
+                     geom: CnnGeom, ls, co, dtype):
+    """Forward + hand-written backward for one sample block.
+
+    X: (OBS_DIM, S) obs planes (S = tc*rbu*128); a/logp_old/v_old/adv/ret:
+    per-sample planes; weights: cnn_all_weights tuple (ls slot unused);
+    gx/gy: (res^2, 1) patch-major pixel-coordinate columns; ls: 4 log_std
+    scalars. Every op runs identically inside the Mosaic kernel and in the
+    jnp mirror — this function IS the bitwise contract (head math in
+    `_head_grads`, shared with the MLP/LSTM update kernels).
+
+    Returns (grad list matching the kernel tensor order WITHOUT log_std,
+    stat planes tuple of N_UPSTATS).
+    """
+    from drone_tpu.ops.pallas_acting_traj import _dot32
+
+    W0, b0, W1, b1, Wt, bt, head, vhead, _ = weights
+    dot = lambda p, q: _dot32(p, q, dtype)
+    S = X.shape[1]
+    shape = a[0].shape
+
+    mx, vx, acts = cnn_forward(X, weights, gx, gy, geom, dtype,
+                               want_acts=True)
+    h = acts[-1]
+    m = [mx[k].reshape(shape) for k in range(4)]
+    v = vx[0].reshape(shape)
+    dm, g_v, stats = _head_grads(m, v, a, logp_old, v_old, adv, ret, ls, co)
+
+    # -- heads ---------------------------------------------------------------
+    dmx = jnp.stack(dm).reshape(4, S)
+    dvx = g_v.reshape(1, S)
+    gHw = dot(dmx, h.T)
+    gHb = jnp.sum(dmx, axis=1, keepdims=True)
+    gVw = dot(dvx, h.T)
+    gVb = jnp.sum(dvx, axis=1, keepdims=True)
+
+    # -- encoder (trunk + conv1 + conv0, shared hand-written backward) ------
+    dh = dot(head[0].T, dmx) + dot(vhead[0].T, dvx)
+    enc_g = cnn_encoder_bwd(dh, acts, (W0, b0, W1, b1, Wt, bt), gx, gy,
+                            geom, dtype)
+    grads = enc_g + [gHw, gHb, gVw, gVb]
     return grads, stats
 
 

@@ -84,18 +84,29 @@ def _unflatten(tensors, n_enc):
     return enc, wi, wh, bh, head, vhead
 
 
-def _lstm_step_fwd(X, c, h, enc, wi, wh, bh, dtype):
+def _lstm_step_fwd(X, c, h, enc, wi, wh, bh, dtype, encoder="dense",
+                   geom=None, gx=None, gy=None):
     """One encoder+LSTM step in plane space: X (OBS_DIM, L), c/h (H, L).
 
-    Returns (acts, gi, gf, gg, go, c2, th, h2) where acts[i] is the input
-    to encoder layer i (acts[-1] = the LSTM input x). Built on the SHARED
-    encoder/gate blocks (ops/pallas_acting_lstm.lstm_encoder/lstm_gates —
-    one evaluation order across rollout and update), so recomputed
-    activations match the rollout's bitwise at the first minibatch."""
+    Returns (acts, gi, gf, gg, go, c2, th, h2) where acts[-1] = the LSTM
+    input x (for the dense encoder acts[i] is the input to layer i; for the
+    CNN encoder acts is cnn_encode's residual tuple, whose last entry is
+    likewise the trunk output). Built on the SHARED encoder/gate blocks
+    (ops/pallas_acting_lstm.lstm_encoder + pallas_acting_cnn.cnn_encode /
+    lstm_gates — one evaluation order across rollout and update), so
+    recomputed activations match the rollout's bitwise at the first
+    minibatch."""
     from drone_tpu.ops.pallas_acting_lstm import lstm_encoder, lstm_gates
 
     dot = lambda a, b: _dot32(a, b, dtype)
-    acts = lstm_encoder(X, enc, dot)
+    if encoder == "cnn":
+        from drone_tpu.ops.pallas_acting_cnn import cnn_encode
+
+        flat = (enc[0][0], enc[0][1], enc[1][0], enc[1][1], enc[2][0],
+                enc[2][1])
+        _, acts = cnn_encode(X, flat, gx, gy, geom, dtype, want_acts=True)
+    else:
+        acts = lstm_encoder(X, enc, dot)
     gi, gf, gg, go, c2, th, h2 = lstm_gates(acts[-1], h, c, wi, wh, bh, dot)
     return acts, gi, gf, gg, go, c2, th, h2
 
@@ -104,7 +115,8 @@ def _zero_grads(tensors):
     return [jnp.zeros_like(t) for t in tensors]
 
 
-def _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt, dtype):
+def _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt, dtype,
+                   encoder="dense", geom=None, gx=None, gy=None):
     """Truncated-BPTT forward + hand-written backward for ONE segment.
 
     rp(t) -> the (N_TRAJ, rbu, 128) trajectory tile at segment step t
@@ -139,7 +151,8 @@ def _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt, dtype):
         """One forward step from the trajectory tile pt = rp(t)."""
         X = pt[TP_OBS0:TP_OBS0 + OBS_DIM].reshape(OBS_DIM, L)
         acts, gi, gf, gg, go, c2, th, h2 = _lstm_step_fwd(
-            X, c, h, enc, wi, wh, bh, dtype)
+            X, c, h, enc, wi, wh, bh, dtype, encoder=encoder, geom=geom,
+            gx=gx, gy=gy)
         keep = (1.0 - pt[TP_DONE]).reshape(1, L)
         return acts, gi, gf, gg, go, c2, th, h2, keep
 
@@ -220,15 +233,26 @@ def _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt, dtype):
                 dh_nxt = hterm if dh_nxt is None else dh_nxt + hterm
                 dx = xterm if dx is None else dx + xterm
 
-            # encoder backward (tanh layers; activations recomputed above)
-            for li in range(n_enc - 1, -1, -1):
-                y = acts[li + 1]
-                dpre = dx * (1.0 - y * y)
-                g[2 * li] = g[2 * li] + _dot32(dpre, acts[li].T, dtype)
-                g[2 * li + 1] = g[2 * li + 1] + jnp.sum(dpre, axis=1,
-                                                        keepdims=True)
-                if li > 0:
-                    dx = _dot32(enc[li][0].T, dpre, dtype)
+            # encoder backward (activations recomputed above)
+            if encoder == "cnn":
+                # the shared hand-written conv backward (trunk + conv1 +
+                # conv0), dx = d loss / d trunk output at this step
+                from drone_tpu.ops.pallas_update_cnn import cnn_encoder_bwd
+
+                flat = (enc[0][0], enc[0][1], enc[1][0], enc[1][1],
+                        enc[2][0], enc[2][1])
+                enc_g = cnn_encoder_bwd(dx, acts, flat, gx, gy, geom, dtype)
+                for k in range(6):
+                    g[k] = g[k] + enc_g[k]
+            else:
+                for li in range(n_enc - 1, -1, -1):
+                    y = acts[li + 1]
+                    dpre = dx * (1.0 - y * y)
+                    g[2 * li] = g[2 * li] + _dot32(dpre, acts[li].T, dtype)
+                    g[2 * li + 1] = g[2 * li + 1] + jnp.sum(
+                        dpre, axis=1, keepdims=True)
+                    if li > 0:
+                        dx = _dot32(enc[li][0].T, dpre, dtype)
             return tuple(g), dh_nxt, dc_nxt, st_acc
 
         carry = jax.lax.fori_loop(0, sc, bwd_body, carry)
@@ -242,11 +266,15 @@ def _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt, dtype):
 
 
 def _lstm_update_kernel(perm_ref, pl_ref, ar_ref, snap_ref, ls_ref, *refs,
-                        n_enc, co, sc, compute_dtype):
+                        n_enc, co, sc, compute_dtype, encoder="dense",
+                        geom=None):
     n_t = 2 * n_enc + _N_LSTM_FIXED
+    n_in = n_t + (2 if encoder == "cnn" else 0)
     w_refs = refs[:n_t]
-    g_refs = refs[n_t:2 * n_t]
-    stats_ref = refs[2 * n_t]
+    gx = refs[n_t][:] if encoder == "cnn" else None
+    gy = refs[n_t + 1][:] if encoder == "cnn" else None
+    g_refs = refs[n_in:n_in + n_t]
+    stats_ref = refs[n_in + n_t]
     tensors = [w_refs[i][:] for i in range(n_t)]
     ls = [ls_ref[0, k] for k in range(4)]
 
@@ -273,7 +301,8 @@ def _lstm_update_kernel(perm_ref, pl_ref, ar_ref, snap_ref, ls_ref, *refs,
     c0 = snap_ref[0, :hidden, 0].reshape(hidden, L)
     h0 = snap_ref[0, hidden:, 0].reshape(hidden, L)
     grads, stats = _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt,
-                                  compute_dtype)
+                                  compute_dtype, encoder=encoder, geom=geom,
+                                  gx=gx, gy=gy)
     for r, val in zip(g_refs, grads):
         r[:] += val
     for k in range(N_UPSTATS):
@@ -283,11 +312,11 @@ def _lstm_update_kernel(perm_ref, pl_ref, ar_ref, snap_ref, ls_ref, *refs,
 @functools.partial(
     jax.jit,
     static_argnames=("n_sel", "bptt", "rbu", "n_enc", "co", "sc",
-                     "interpret", "compute_dtype"),
+                     "interpret", "compute_dtype", "encoder", "geom"),
 )
 def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
                       n_sel, bptt, rbu, n_enc, co, sc, interpret=False,
-                      compute_dtype="float32"):
+                      compute_dtype="float32", encoder="dense", geom=None):
     T, rows = planes.shape[0], planes.shape[2]
     n_seg = T // bptt
     n_rb = rows // rbu
@@ -303,6 +332,13 @@ def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
     # the anchor BlockSpec stays rank 5
     snap = snap.reshape(n_seg, 2 * hidden, n_rb, rbu, 128)
     tensors = tuple(tensors)
+    if encoder == "cnn":
+        from drone_tpu.pixels import patch_grid
+
+        gx, gy = patch_grid(geom.res, geom.p0)
+        grid_extra = (gx, gy)
+    else:
+        grid_extra = ()
 
     def full(shp):
         return pl.BlockSpec(shp, lambda g, s, p: tuple(0 for _ in shp),
@@ -331,6 +367,7 @@ def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
             pl.BlockSpec((1, 4), lambda g, s, p: (0, 0),
                          memory_space=pltpu.SMEM),
             *[full(t.shape) for t in tensors],
+            *[full(x.shape) for x in grid_extra],
         ],
         out_specs=(
             *[full(t.shape) for t in tensors],
@@ -340,7 +377,8 @@ def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
     )
     kernel = functools.partial(_lstm_update_kernel, n_enc=n_enc, co=co,
                                sc=sc,
-                               compute_dtype=jnp.dtype(compute_dtype).type)
+                               compute_dtype=jnp.dtype(compute_dtype).type,
+                               encoder=encoder, geom=geom)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -352,18 +390,22 @@ def _lstm_update_call(planes, advret, snap, perm_mb, tensors, log_std, *,
         # activations + grad accumulators) measures ~19 MB of Mosaic stack
         # at the production geometry (bptt=16, rbu=8, H=128) — over XLA's
         # conservative 16 MB default scoped-vmem limit but far under the
-        # chip's physical VMEM; 64 MB also covers the bptt=32 envelope
+        # chip's physical VMEM; 64 MB also covers the bptt=32 envelope.
+        # The CNN encoder's per-step recompute adds its ~12 MB activation
+        # set on top (Y0 dominates) — 128 MB covers it.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=(128 if encoder == "cnn" else 64)
+            * 1024 * 1024),
         interpret=interpret,
-    )(perm_mb, planes, advret, snap, log_std, *tensors)
+    )(perm_mb, planes, advret, snap, log_std, *tensors, *grid_extra)
     grads, stats = list(outs[:-1]), outs[-1]
     return grads, jnp.sum(stats, axis=(1, 2))
 
 
 def ppo_lstm_update_reference(planes, advret, snap, perm_mb, tensors,
                               log_std, *, bptt, rbu, co: UpdateConsts, sc,
-                              compute_dtype="float32"):
+                              compute_dtype="float32", encoder="dense",
+                              geom=None):
     """Pure-jnp mirror of the LSTM update kernel: same segment math
     (`_segment_grads`), same (row-block, segment) accumulation order.
     Bitwise contract for the interpret-mode tests; the CPU-backend
@@ -375,6 +417,12 @@ def ppo_lstm_update_reference(planes, advret, snap, perm_mb, tensors,
     L = rbu * 128
     ls = [log_std[0, k] for k in range(4)]
     tensors = list(tensors)
+    if encoder == "cnn":
+        from drone_tpu.pixels import patch_grid
+
+        gx, gy = patch_grid(geom.res, geom.p0)
+    else:
+        gx = gy = None
     acc0 = (_zero_grads(tensors),
             jnp.zeros((N_UPSTATS, rbu, 128), jnp.float32))
 
@@ -394,7 +442,9 @@ def ppo_lstm_update_reference(planes, advret, snap, perm_mb, tensors,
         rp = lambda t: jax.lax.dynamic_index_in_dim(blk, t, 0, keepdims=False)
         ra = lambda t: jax.lax.dynamic_index_in_dim(arb, t, 1, keepdims=False)
         grads, stats = _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc,
-                                      bptt, jnp.dtype(compute_dtype).type)
+                                      bptt, jnp.dtype(compute_dtype).type,
+                                      encoder=encoder, geom=geom, gx=gx,
+                                      gy=gy)
         g_acc = [a + g_ for a, g_ in zip(g_acc, grads)]
         st_acc = st_acc + jnp.stack(stats)
         return (g_acc, st_acc), None
@@ -420,7 +470,8 @@ MAX_KERNEL_BPTT = 32
 def ppo_lstm_update(planes, advret, snap, perm_mb, tensors, log_std, *,
                     bptt, co: UpdateConsts, rbu: int = 1, sc: int | None = None,
                     mode: str = "kernel", interpret: bool = False,
-                    compute_dtype: str = "float32"):
+                    compute_dtype: str = "float32", encoder: str = "dense",
+                    geom=None):
     """One recurrent-PPO minibatch gradient pass (truncated BPTT).
 
     planes: (T, N_TRAJ, rows, 128) straight from the LSTM trajectory
@@ -454,7 +505,9 @@ def ppo_lstm_update(planes, advret, snap, perm_mb, tensors, log_std, *,
             planes, advret, snap, perm_mb, tuple(tensors), log_std,
             n_sel=perm_mb.shape[0], bptt=bptt, rbu=rbu,
             n_enc=(len(tensors) - _N_LSTM_FIXED) // 2, co=co, sc=sc,
-            interpret=interpret, compute_dtype=compute_dtype)
+            interpret=interpret, compute_dtype=compute_dtype,
+            encoder=encoder, geom=geom)
     return ppo_lstm_update_reference(
         planes, advret, snap, perm_mb, tensors, log_std, bptt=bptt, rbu=rbu,
-        co=co, sc=sc, compute_dtype=compute_dtype)
+        co=co, sc=sc, compute_dtype=compute_dtype, encoder=encoder,
+        geom=geom)

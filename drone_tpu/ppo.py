@@ -61,6 +61,17 @@ class PPOConfig:
     # SURVEY.md §2.2 #9) — bounding gradient depth and update memory
     # independently of the rollout length.
     bptt_horizon: int = 0
+    # scan trainer only: split each minibatch's forward+backward into this
+    # many sample chunks, accumulating gradients (lax.scan), then apply ONE
+    # optimizer step — the mean-loss gradient is unchanged (equal chunks:
+    # mean == mean of chunk means). Bounds update-phase activation memory
+    # by 1/grad_accum: the overlapping-conv pixel policy materializes ~4.5k
+    # floats/sample of conv residuals for autodiff, which OOMs 16 GB at
+    # 64k envs x 128 steps / 4 minibatches — grad_accum=16 trains that
+    # shape in <2 GB of activations. The megakernel trainers never
+    # materialize activations (hand-written backward in VMEM) and ignore
+    # this knob.
+    grad_accum: int = 1
 
 
 @flax.struct.dataclass
@@ -181,6 +192,9 @@ def make_train_step(
         f"{cfg.num_minibatches} minibatches"
     )
     mb_size = batch_size // cfg.num_minibatches
+    assert cfg.grad_accum >= 1 and mb_size % cfg.grad_accum == 0, (
+        f"minibatch size ({mb_size}) must divide into grad_accum "
+        f"({cfg.grad_accum}) equal sample chunks")
 
     def policy_sample(params, obs, key):
         mean, log_std, value = apply_fn(params, obs)
@@ -276,9 +290,36 @@ def make_train_step(
         )
 
         def sgd_step(params, opt_state, mb):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, mb
-            )
+            if cfg.grad_accum > 1:
+                # sample-chunked forward+backward: scan over equal chunks,
+                # average grads/metrics, ONE optimizer step — identical
+                # mean-loss gradient, 1/grad_accum the activation memory
+                chunks = jax.tree_util.tree_map(
+                    lambda x: x.reshape(cfg.grad_accum,
+                                        x.shape[0] // cfg.grad_accum,
+                                        *x.shape[1:]), mb)
+
+                def accum(carry, chunk):
+                    (loss, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params, chunk)
+                    g_acc, l_acc, a_acc = carry
+                    return (jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                            l_acc + loss,
+                            jax.tree_util.tree_map(jnp.add, a_acc, aux)), None
+
+                zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+                zeros = (zero_g, jnp.float32(0.0),
+                         {k: jnp.float32(0.0)
+                          for k in ("pg_loss", "v_loss", "entropy",
+                                    "approx_kl", "clipfrac")})
+                (grads, loss, aux), _ = jax.lax.scan(accum, zeros, chunks)
+                inv = 1.0 / cfg.grad_accum
+                grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+                loss = loss * inv
+                aux = jax.tree_util.tree_map(lambda a: a * inv, aux)
+            else:
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = optimizer.update(grads, opt_state, params)

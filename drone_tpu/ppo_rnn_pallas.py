@@ -74,12 +74,30 @@ def lstm_grads_pytree(params, grads, dls, n_enc):
     """Kernel-layout gradient list (ppo_lstm_update order, no ls) + log_std
     grad -> a pytree matching LSTMActorCritic params (W^T back to flax
     (in, out); (out, 1) biases to (out,); flax's input-gate denses have no
-    bias, matching the kernel's gradient surface)."""
+    bias, matching the kernel's gradient surface). For the pixel-recurrent
+    CNNLSTMActorCritic, the 3 encoder pairs map back to conv0/conv1/trunk
+    (the same inverse layout transforms as ppo_cnn_pallas.cnn_grads_pytree)."""
+    p = params["params"] if "params" in params else params
     o = 2 * n_enc
     out = {}
-    for i in range(n_enc):
-        out[f"enc_h{i}"] = {"kernel": grads[2 * i].T,
-                            "bias": grads[2 * i + 1][:, 0]}
+    if "conv0" in p:
+        from drone_tpu.ops.pallas_acting_cnn import N_CHAN, infer_cnn_geom
+
+        geom = infer_cnn_geom(p)
+        c0 = grads[0].shape[0]
+        c1 = grads[2].shape[0]
+        out["conv0"] = {
+            "kernel": grads[0].T.reshape(N_CHAN, geom.p0, geom.p0,
+                                         c0).transpose(1, 2, 0, 3),
+            "bias": grads[1][:, 0]}
+        out["conv1"] = {"kernel": grads[2].T.reshape(geom.p1, geom.p1,
+                                                     c0, c1),
+                        "bias": grads[3][:, 0]}
+        out["trunk"] = {"kernel": grads[4].T, "bias": grads[5][:, 0]}
+    else:
+        for i in range(n_enc):
+            out[f"enc_h{i}"] = {"kernel": grads[2 * i].T,
+                                "bias": grads[2 * i + 1][:, 0]}
     lstm = {}
     for gi, g in enumerate(_GATES):
         lstm[f"i{g}"] = {"kernel": grads[o + gi].T}
@@ -131,13 +149,21 @@ def fused_to_optax_opt_state(optimizer, params, fused_state):
 def _lstm_value(obs, carry, params, dtype=jnp.float32):
     """Critic value at `obs` given the flax carry (c, h), in the kernels'
     plane-space matmul formulation (built on the shared
-    lstm_encoder/lstm_gates blocks — identical in kernel and reference
-    trainer modes). Returns (N,) values."""
+    encode_features/lstm_gates blocks — identical in kernel and reference
+    trainer modes, for both the dense and CNN encoders). Returns (N,)
+    values."""
     enc, wi, wh, bh, head, vhead, _ = PAL.lstm_all_weights(params)
+    encoder, geom = PAL.lstm_encoder_kind(params)
+    if encoder == "cnn":
+        from drone_tpu.pixels import patch_grid
+
+        gx, gy = patch_grid(geom.res, geom.p0)
+    else:
+        gx = gy = None
     dot = lambda a, b: _dot32(a, b, dtype)
     enc_c = [(w, b[:, None]) for w, b in enc]
     bh_c = [b[:, None] for b in bh]
-    x = PAL.lstm_encoder(obs.T, enc_c, dot)[-1]
+    x = PAL.encode_features(obs.T, enc_c, dot, encoder, geom, gx, gy, dtype)
     c = jnp.asarray(carry[0], jnp.float32).T
     h = jnp.asarray(carry[1], jnp.float32).T
     *_, h2 = PAL.lstm_gates(x, h, c, wi, wh, bh_c, dot)
@@ -203,13 +229,18 @@ def make_pallas_rnn_train_step(
         # --- epochs x minibatches through the BPTT update kernel -----------
         _losses = PPC.make_losses(cfg, co)
 
+        # the encoder kind is static at trace time (param-dict structure);
+        # "cnn" routes the update kernel's encoder fwd/bwd through the
+        # shared patchify-conv blocks (pixel-recurrent family)
+        encoder, geom = PAL.lstm_encoder_kind(runner.params)
+
         def _minibatch_grads(tensors, perm_mb):
             ls = tensors[-1]
             ent = jnp.sum(ls[0] + 0.5 * (1.0 + 2.0 * PAT._HALF_LOG_2PI))
             grads, st = PUL.ppo_lstm_update(
                 planes, advret, snap, perm_mb, tensors[:-1], ls, bptt=bptt,
                 co=co, rbu=rbu, sc=sc, mode=mode, interpret=interpret,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, encoder=encoder, geom=geom)
             dls = (st[PU.ST_DLS0:PU.ST_DLS0 + 4]
                    - cfg.ent_coef).reshape(1, 4)
             return grads, dls, st, ent

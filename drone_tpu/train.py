@@ -116,11 +116,9 @@ def build(cfg: Config):
         # 8-row (1024-lane) minibatch tiles on top of the 1024-aligned
         # lane blocks, hence lane_mult * num_minibatches.
         eligible = local_envs % (lane_mult * cfg.train.num_minibatches) == 0
-    elif cfg.run.policy == "cnn_lstm":
-        # pixel-recurrent: scan/hybrid tier only for now (megakernel tier
-        # lands with the encoder-hooked recurrent kernels)
-        eligible = False
     elif recurrent:
+        # both recurrent families: dense-encoder LSTM and the
+        # pixel-recurrent cnn_lstm (the kernels' encoder hook)
         from drone_tpu.ops import pallas_update_lstm as _PUL
 
         # two recurrent megakernel tiers. Fully fused (rollout + BPTT
@@ -275,7 +273,9 @@ def _restore_any_trainer(restorer, runner, opt, cfg):
     *.pt resume is trainer-agnostic (SURVEY.md §5 checkpoint/resume)."""
     from drone_tpu import ppo_pallas
 
-    if cfg.run.policy == "lstm":
+    if cfg.run.policy in ("lstm", "cnn_lstm"):
+        # the recurrent converters auto-detect the encoder kind from the
+        # params (dense enc_h{i} vs conv0/conv1/trunk kernel tensors)
         from drone_tpu import ppo_rnn_pallas as conv_mod
     elif cfg.run.policy == "cnn":
         # PatchCNNActorCritic's fused layout (default geometry — the model
@@ -491,10 +491,10 @@ def evaluate(cfg: Config, runner=None, episodes: int = 64, deterministic=True):
         from drone_tpu import ppo_rnn
 
         carry = model.initial_carry((n,))
-        if (cfg.run.policy == "lstm" and deterministic and n % 128 == 0
-                and kernel_ok):
+        if deterministic and n % 128 == 0 and kernel_ok:
             # recurrent acting megakernel (6.6x the scan path; see
-            # ops/pallas_acting_lstm.py)
+            # ops/pallas_acting_lstm.py) — the CNN-encoder hook serves the
+            # pixel-recurrent family through the same kernel
             from drone_tpu.ops import lstm_act_rollout_pallas
 
             _, _, stats = lstm_act_rollout_pallas(

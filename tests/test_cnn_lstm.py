@@ -97,6 +97,29 @@ def test_encoder_module_composition_trains():
     assert all(moved), f"stale leaves: {[i for i, x in enumerate(moved) if not x]}"
 
 
+def test_train_py_cnn_lstm_megakernel_dispatch(tmp_path):
+    """run.rollout=pallas routes policy=cnn_lstm to the fully-fused
+    recurrent megakernel trainer (fused-adam opt state; the kernels'
+    CNN-encoder hook) when the batch shape supports the update kernel's
+    minibatch tiling."""
+    from drone_tpu import ppo_pallas
+    from drone_tpu.train import train
+    from drone_tpu.utils.config import Config
+
+    cfg = Config.default().with_overrides([
+        "run.policy=cnn_lstm", "run.lstm_hidden=8", "run.total_updates=1",
+        "run.log_interval=1", "run.checkpoint_interval=100",
+        "train.horizon=8", "train.epochs=1", "train.num_minibatches=2",
+        "train.num_envs=256", "run.mesh=false", "run.rollout=pallas",
+        "run.save_final=false",
+    ])
+    cfg.run.checkpoint_dir = str(tmp_path)
+    runner, last = train(cfg)
+    assert np.isfinite(last["loss"])
+    assert ppo_pallas.is_fused_opt_state(runner.opt_state)
+    assert "conv0" in runner.params["params"]
+
+
 def test_train_py_cnn_lstm_wiring(tmp_path):
     """run.policy=cnn_lstm builds the pixel-recurrent model, trains on the
     scan tier, checkpoints, and evaluates (recurrent scan eval path)."""

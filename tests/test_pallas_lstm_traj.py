@@ -251,6 +251,119 @@ def test_compiled_bptt_chunk_guard():
                                      interpret=False)
 
 
+def _setup_cnn_lstm(seed=0):
+    from drone_tpu.models import CNNLSTMActorCritic
+
+    env = drone_tpu.DroneEnv()
+    model = CNNLSTMActorCritic(res=8, patch0=2, patch1=2, channels=(8, 8),
+                               trunk_hidden=16, hidden=16)
+    carry1 = model.initial_carry((1,))
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 13), jnp.float32), carry1)
+    return env, model, params
+
+
+def test_cnn_lstm_traj_kernel_bitwise_vs_reference():
+    """Pixel-recurrent rollout kernel (CNN encoder hook, interpret) == jnp
+    mirror bit for bit: planes, anchors, final state, final carry — the
+    same contract as the dense-encoder kernel, with the patchify-CNN trunk
+    (pallas_acting_cnn.cnn_encode) in front of the gates."""
+    env, model, params = _setup_cnn_lstm()
+    N, T, bptt = 256, 8, 4
+    p = env.params.replace(horizon=jnp.int32(6))
+    carry = model.initial_carry((N,))
+    ref_s, ref_c, ref_traj, ref_seg, ref_stats = jax.jit(
+        lambda s, c, pp, prm: PAL.traj_lstm_rollout_reference(
+            s, prm, c, pp, env.statics, T, bptt=bptt)
+    )(env.init_batch(5, N), carry, p, params)
+    pal_s, pal_c, planes, pal_seg, pal_stats = PAL.traj_lstm_rollout_pallas(
+        env.init_batch(5, N), params, carry, p, env.statics, T, bptt=bptt,
+        lanes_per_block=N, time_chunk=4, interpret=True)
+    _assert_traj_bitwise(_planes_to_traj(planes, N), ref_traj)
+    for k in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(pal_seg[k]).view(np.uint32),
+            np.asarray(ref_seg[k]).view(np.uint32), err_msg=f"seg[{k}]")
+        np.testing.assert_array_equal(
+            np.asarray(pal_c[k]).view(np.uint32),
+            np.asarray(ref_c[k]).view(np.uint32), err_msg=f"carry[{k}]")
+    np.testing.assert_array_equal(
+        np.asarray(pack_fstate_batch(pal_s)).view(np.uint32),
+        np.asarray(pack_fstate_batch(ref_s)).view(np.uint32))
+    for k in ("episodes", "ep_length_sum"):
+        assert float(pal_stats[k]) == float(ref_stats[k]), k
+    assert float(pal_stats["episodes"]) > 0
+
+
+def test_cnn_lstm_mirror_matches_flax_deterministic():
+    """Deterministic pixel-recurrent mirror == the flax scan rollout
+    (CNNLSTMActorCritic.apply in the loop) — ties the plane-space
+    render+conv+LSTM math to the canonical model."""
+    env, model, params = _setup_cnn_lstm()
+    N, T = 64, 6
+    carry = model.initial_carry((N,))
+    state = env.init_batch(3, N)
+    _, _, traj, _, _ = jax.jit(
+        lambda s, c, pp, prm: PAL.traj_lstm_rollout_reference(
+            s, prm, c, pp, env.statics, T, stochastic=False)
+    )(state, carry, env.params, params)
+    _, _, outs = ppo_rnn.rollout_recurrent(
+        model, params, env, state, carry, T, deterministic=True)
+    np.testing.assert_allclose(np.asarray(traj.reward),
+                               np.asarray(outs.reward),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cnn_lstm_acting_kernel_matches_mirror():
+    """Pixel-recurrent ACTING kernel (stats-only serving path, interpret)
+    == the deterministic mirror: final env state and carry bitwise."""
+    env, model, params = _setup_cnn_lstm(seed=2)
+    N, T = 256, 8
+    p = env.params.replace(horizon=jnp.int32(6))
+    carry = model.initial_carry((N,))
+    fk, ck, stats_k = PAL.lstm_act_rollout_pallas(
+        env.init_batch(7, N), params, carry, p, env.statics, T,
+        lanes_per_block=N, interpret=True)
+    fr, cr, _, _, stats_r = jax.jit(
+        lambda s, c, pp, prm: PAL.traj_lstm_rollout_reference(
+            s, prm, c, pp, env.statics, T, stochastic=False)
+    )(env.init_batch(7, N), carry, p, params)
+    np.testing.assert_array_equal(
+        np.asarray(pack_fstate_batch(fk)).view(np.uint32),
+        np.asarray(pack_fstate_batch(fr)).view(np.uint32))
+    for k in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(ck[k]).view(np.uint32),
+            np.asarray(cr[k]).view(np.uint32), err_msg=f"carry[{k}]")
+    assert float(stats_k["episodes"]) == float(stats_r["episodes"])
+
+
+def test_cnn_lstm_hybrid_trainer_pallas_vs_reference():
+    """ppo_rnn with rollout='pallas' (CNN-encoder kernel, interpret) vs
+    'pallas_ref' for the pixel-recurrent policy: tight agreement after one
+    update (the update phase is shared flax segmented_forward)."""
+    env, model, params = _setup_cnn_lstm(seed=1)
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=256, epochs=1,
+                            num_minibatches=2, bptt_horizon=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    r0 = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=1)
+    step_pal = jax.jit(ppo_rnn.make_recurrent_train_step(
+        model.apply, opt, env.params, env.statics, cfg,
+        rollout="pallas", rollout_interpret=True))
+    step_ref = jax.jit(ppo_rnn.make_recurrent_train_step(
+        model.apply, opt, env.params, env.statics, cfg,
+        rollout="pallas_ref"))
+    ra, ma = step_pal(r0)
+    rb, mb = step_ref(r0)
+    for (pa, pb) in zip(jax.tree_util.tree_leaves(ra.params),
+                        jax.tree_util.tree_leaves(rb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-3, atol=1e-6)
+    for k in ma:
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=1e-3, atol=1e-6, err_msg=k)
+
+
 def test_lstm_traj_multi_chunk_segments_bitwise():
     """BPTT segments spanning several time chunks (tc < bptt): the snap
     anchor block is written only on the segment's first chunk and must

@@ -257,6 +257,155 @@ def test_rnn_pallas_trainer_learns():
     assert last > first + 0.15, (first, last)
 
 
+def _setup_cnn_lstm(seed=0, hidden=16):
+    from drone_tpu.models import CNNLSTMActorCritic
+
+    env = drone_tpu.DroneEnv()
+    model = CNNLSTMActorCritic(res=8, patch0=2, patch1=2, channels=(8, 8),
+                               trunk_hidden=16, hidden=hidden)
+    carry1 = model.initial_carry((1,))
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 13), jnp.float32), carry1)
+    return env, model, params
+
+
+def test_cnn_lstm_update_kernel_bitwise_vs_mirror():
+    """Pixel-recurrent BPTT update kernel (CNN encoder fwd/bwd hook,
+    interpret) == jnp mirror bit for bit — gradients (conv tower AND gates)
+    and stat sums, shuffled row blocks, multiple segments."""
+    env, model, params = _setup_cnn_lstm()
+    N, T, bptt = 256, 8, 4
+    planes, advret, snap, _, _ = _rollout_data(env, model, params, N, T, bptt)
+    tensors, n_enc = PRP.lstm_kernel_tensors(params)
+    assert n_enc == 3  # (W0, b0), (W1, b1), (Wt, bt)
+    encoder, geom = PAL.lstm_encoder_kind(params)
+    assert encoder == "cnn" and geom.key == (8, 2, 2)
+    co = PU.UpdateConsts(clip_eps=0.2, vf_clip=10.0, vf_coef=0.5,
+                         inv_m=1.0 / (N * T))
+    perm = jnp.array([1, 0], jnp.int32)
+    for sc in (2, 4):
+        gk, stk = PUL.ppo_lstm_update(
+            planes, advret, snap, perm, tensors[:-1], tensors[-1],
+            bptt=bptt, co=co, rbu=1, sc=sc, mode="kernel", interpret=True,
+            encoder=encoder, geom=geom)
+        gr, str_ = PUL.ppo_lstm_update(
+            planes, advret, snap, perm, tensors[:-1], tensors[-1],
+            bptt=bptt, co=co, rbu=1, sc=sc, mode="reference",
+            encoder=encoder, geom=geom)
+        for i, (a, b) in enumerate(zip(gk, gr)):
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint32), np.asarray(b).view(np.uint32),
+                err_msg=f"grad[{i}] sc={sc}")
+        np.testing.assert_array_equal(
+            np.asarray(stk).view(np.uint32), np.asarray(str_).view(np.uint32),
+            err_msg=f"stats sc={sc}")
+        assert any(float(jnp.linalg.norm(g)) > 0 for g in gk)
+
+
+def test_cnn_lstm_update_grads_match_jax_grad():
+    """The hand-written conv+BPTT backward == jax.grad of the
+    segmented_forward PPO loss through CNNLSTMActorCritic.apply on the same
+    stored data — truncation, done-masked carries, and the conv tower's
+    gradient all included."""
+    env, model, params = _setup_cnn_lstm()
+    N, T, bptt = 256, 8, 4
+    ent_coef, vf_coef, clip_eps, vf_clip = 0.01, 0.5, 0.2, 10.0
+    planes, advret, snap, traj, seg_batch = _rollout_data(
+        env, model, params, N, T, bptt)
+    tensors, n_enc = PRP.lstm_kernel_tensors(params)
+    encoder, geom = PAL.lstm_encoder_kind(params)
+    co = PU.UpdateConsts(clip_eps=clip_eps, vf_clip=vf_clip, vf_coef=vf_coef,
+                         inv_m=1.0 / (N * T))
+    perm = jnp.array([0, 1], jnp.int32)
+    grads, st = PUL.ppo_lstm_update(
+        planes, advret, snap, perm, tensors[:-1], tensors[-1],
+        bptt=bptt, co=co, rbu=1, sc=2, mode="reference", encoder=encoder,
+        geom=geom)
+    dls = st[PU.ST_DLS0:PU.ST_DLS0 + 4] - ent_coef
+    gtree = PRP.lstm_grads_pytree(params, grads, dls, n_enc)
+
+    adv = advret[0].reshape(T, N)
+    ret = advret[1].reshape(T, N)
+
+    def loss_fn(prm):
+        mean, log_std, value = ppo_rnn.segmented_forward(
+            model.apply, prm, traj.obs, traj.done, seg_batch, bptt)
+        logp = ppo_mod.gaussian_logp(traj.action, mean, log_std)
+        ratio = jnp.exp(logp - traj.logp)
+        pg1 = -adv * ratio
+        pg2 = -adv * jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+        pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
+        v_clipped = traj.value + jnp.clip(value - traj.value, -vf_clip,
+                                          vf_clip)
+        v_loss = 0.5 * jnp.mean(jnp.maximum((value - ret) ** 2,
+                                            (v_clipped - ret) ** 2))
+        ent = jnp.mean(ppo_mod.gaussian_entropy(log_std))
+        return pg_loss + vf_coef * v_loss - ent_coef * ent
+
+    gref = jax.grad(loss_fn)(params)
+    flat_k = jax.tree_util.tree_leaves(gtree)
+    flat_r = jax.tree_util.tree_leaves(gref)
+    assert len(flat_k) == len(flat_r)
+    for a, b in zip(flat_k, flat_r):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6 + 3e-4 * scale, rtol=0)
+
+
+def test_cnn_lstm_pallas_train_step_kernel_vs_reference():
+    """Full pixel-recurrent megakernel train step (CNN-encoder rollout
+    kernel + BPTT update kernel + fused adam): kernel (interpret) ==
+    reference mode bitwise after 2 updates."""
+    env, model, params = _setup_cnn_lstm(seed=1)
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=256, epochs=2,
+                            num_minibatches=2, bptt_horizon=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    r0 = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=1)
+    r0 = r0.replace(opt_state=PRP.init_fused_opt_state(r0.params))
+    step_k = jax.jit(PRP.make_pallas_rnn_train_step(
+        opt, env.params, env.statics, cfg, mode="kernel",
+        interpret=True, fused_optimizer=True))
+    step_r = jax.jit(PRP.make_pallas_rnn_train_step(
+        opt, env.params, env.statics, cfg, mode="reference",
+        fused_optimizer=True))
+    ra, rb = r0, r0
+    for _ in range(2):
+        ra, ma = step_k(ra)
+        rb, mb = step_r(rb)
+    for pa, pb in zip(jax.tree_util.tree_leaves(ra.params),
+                      jax.tree_util.tree_leaves(rb.params)):
+        np.testing.assert_array_equal(np.asarray(pa).view(np.uint32),
+                                      np.asarray(pb).view(np.uint32))
+    for k in ma:
+        if k == "episodes":
+            assert float(ma[k]) == float(mb[k]), k
+        else:
+            np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+def test_cnn_lstm_pallas_trainer_learns():
+    """The pixel-recurrent megakernel trainer learns on hover: value loss
+    drops over a short run, every param (convs and gates) stays finite."""
+    env, model, params = _setup_cnn_lstm(seed=0, hidden=32)
+    cfg = ppo_mod.PPOConfig(horizon=16, num_envs=256, epochs=2,
+                            num_minibatches=2, lr=1e-3, bptt_horizon=8)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+    runner = runner.replace(opt_state=PRP.init_fused_opt_state(runner.params))
+    step = jax.jit(PRP.make_pallas_rnn_train_step(
+        opt, env.params, env.statics, cfg, mode="reference",
+        fused_optimizer=True))
+    vloss = []
+    for _ in range(20):
+        runner, m = step(runner)
+        assert np.isfinite(float(m["loss"]))
+        vloss.append(float(m["v_loss"]))
+    assert np.mean(vloss[-5:]) < np.mean(vloss[1:6]), vloss
+    for leaf in jax.tree_util.tree_leaves(runner.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_lstm_opt_state_converters_roundtrip():
     """optax -> fused -> optax preserves the adam moments bitwise (the
     recurrent cross-trainer checkpoint portability contract)."""

@@ -90,6 +90,56 @@ def test_cnn_trains_through_real_trainer():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_grad_accum_matches_full_batch_update():
+    """grad_accum chunks the minibatch forward+backward but must leave the
+    TRAINING SEMANTICS unchanged: params after one train step with
+    grad_accum=4 match grad_accum=1 to float tolerance (mean of equal-chunk
+    means == full mean, up to reduction order) — the knob that lets the
+    overlapping-conv pixel policy train at the 64k production batch."""
+    env = drone_tpu.DroneEnv()
+    model = PixelActorCritic(res=8, channels=(4, 8), kernels=(3, 3),
+                             strides=(1, 1), hidden=16)
+    base = dict(horizon=8, num_envs=32, epochs=2, num_minibatches=2)
+    runs = {}
+    for ga in (1, 4):
+        cfg = ppo_mod.PPOConfig(grad_accum=ga, **base)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        step = jax.jit(ppo_mod.make_train_step(
+            model.apply, opt, env.params, env.statics, cfg))
+        runner, m = step(runner)
+        runs[ga] = (runner.params, m)
+    for a, b in zip(jax.tree_util.tree_leaves(runs[1][0]),
+                    jax.tree_util.tree_leaves(runs[4][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(float(runs[1][1]["loss"]),
+                               float(runs[4][1]["loss"]), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_cnn_overlap_trains_with_grad_accum():
+    """The overlapping-conv pixel policy LEARNS through the scan trainer
+    with grad_accum active (the production-64k configuration, scaled down):
+    value loss improves and params stay finite."""
+    env = drone_tpu.DroneEnv()
+    model = PixelActorCritic()
+    cfg = ppo_mod.PPOConfig(horizon=8, num_envs=64, epochs=2,
+                            num_minibatches=2, lr=1e-3, grad_accum=4)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+    step = jax.jit(ppo_mod.make_train_step(
+        model.apply, opt, env.params, env.statics, cfg))
+    vloss = []
+    for _ in range(20):
+        runner, m = step(runner)
+        assert np.isfinite(float(m["loss"]))
+        vloss.append(float(m["v_loss"]))
+    assert np.mean(vloss[-5:]) < np.mean(vloss[1:6]), vloss
+    for leaf in jax.tree_util.tree_leaves(runner.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_cnn_policy_via_train_build(tmp_path):
     """run.policy='cnn' wires through the standard train() driver."""
     from drone_tpu.train import train

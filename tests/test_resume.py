@@ -227,6 +227,72 @@ def test_cross_trainer_resume_recurrent_both_directions(tmp_path):
     assert np.isfinite(last2["loss"])
 
 
+def test_cross_trainer_resume_cnn_both_directions(tmp_path):
+    """CNN cross-trainer portability through the train() driver (round-4
+    missing #4): a policy=cnn checkpoint written by the scan trainer
+    (optax) resumes under the CNN megakernel trainer (fused adam in CNN
+    kernel layout) with momentum carried over, and the reverse."""
+    from drone_tpu import ppo_pallas
+
+    mk = ["train.num_envs=256", "run.policy=cnn"]
+
+    # scan/optax -> CNN megakernel/fused-adam
+    train(_cfg(tmp_path, "csc", 2, 2, extra=mk + ["run.rollout=scan"]))
+    rb, last = train(_cfg(
+        tmp_path, "csc2pal", 4, 100,
+        resume_from=str(tmp_path / "csc" / "checkpoints"),
+        extra=mk + ["run.rollout=pallas"]))
+    assert ppo_pallas.is_fused_opt_state(rb.opt_state)
+    assert int(rb.update_idx) == 4
+    # momentum carried: count continued from 8 (2u*2e*2mb), not from 0
+    assert float(rb.opt_state[0]) == 16.0
+    assert np.isfinite(last["loss"])
+
+    # CNN megakernel/fused-adam -> scan/optax
+    train(_cfg(tmp_path, "cpal", 2, 2, extra=mk + ["run.rollout=pallas"]))
+    rc, last2 = train(_cfg(
+        tmp_path, "cpal2sc", 4, 100,
+        resume_from=str(tmp_path / "cpal" / "checkpoints"),
+        extra=mk + ["run.rollout=scan"]))
+    assert not ppo_pallas.is_fused_opt_state(rc.opt_state)
+    assert int(rc.update_idx) == 4
+    import optax as _optax
+
+    adam = ppo_pallas._find_state(rc.opt_state, _optax.ScaleByAdamState)
+    assert int(adam.count) == 16
+    assert np.isfinite(last2["loss"])
+
+
+def test_cross_trainer_resume_cnn_lstm_both_directions(tmp_path):
+    """Pixel-RECURRENT cross-trainer portability: a policy=cnn_lstm
+    checkpoint round-trips scan/optax <-> recurrent-megakernel/fused-adam
+    (the LSTM converters' CNN-encoder tensor layout) with momentum carried."""
+    from drone_tpu import ppo_pallas
+
+    mk = ["train.num_envs=256", "run.policy=cnn_lstm", "run.lstm_hidden=16"]
+
+    train(_cfg(tmp_path, "clsc", 2, 2, extra=mk + ["run.rollout=scan"]))
+    rb, last = train(_cfg(
+        tmp_path, "clsc2pal", 4, 100,
+        resume_from=str(tmp_path / "clsc" / "checkpoints"),
+        extra=mk + ["run.rollout=pallas"]))
+    assert ppo_pallas.is_fused_opt_state(rb.opt_state)
+    assert float(rb.opt_state[0]) == 16.0
+    assert np.isfinite(last["loss"])
+
+    train(_cfg(tmp_path, "clpal", 2, 2, extra=mk + ["run.rollout=pallas"]))
+    rc, last2 = train(_cfg(
+        tmp_path, "clpal2sc", 4, 100,
+        resume_from=str(tmp_path / "clpal" / "checkpoints"),
+        extra=mk + ["run.rollout=scan"]))
+    assert not ppo_pallas.is_fused_opt_state(rc.opt_state)
+    import optax as _optax
+
+    adam = ppo_pallas._find_state(rc.opt_state, _optax.ScaleByAdamState)
+    assert int(adam.count) == 16
+    assert np.isfinite(last2["loss"])
+
+
 def test_fresh_run_refuses_existing_checkpoint_dir(tmp_path):
     """orbax silently returns False when saving over an existing step, so a
     fresh run reusing a run_name would 'finish' while export/watch serve the

@@ -55,6 +55,44 @@ def test_trainers_cross_threshold_in_comparable_budget():
     assert ratio <= 1.5, budgets
 
 
+def test_cnn_trainers_cross_threshold_in_comparable_budget():
+    """The pixel-family analogue (round-4 missing #5): the scan trainer and
+    the CNN megakernel trainer (reference mode == kernel math bitwise)
+    cross the same hover threshold within a factor-~1.5 update budget under
+    equal hyperparameters and seeds — the megakernel's semantic deltas
+    measured harmless for the third policy family too. (The 4k/64k on-chip
+    shapes are bench.py's cnn_train_sps fields; this pins the equivalence
+    at CI scale.)"""
+    from drone_tpu import ppo_cnn_pallas as PCP
+    from drone_tpu.models import PatchCNNActorCritic
+
+    env = drone_tpu.DroneEnv()
+    model = PatchCNNActorCritic(res=8, patch0=2, patch1=2, channels=(16, 16),
+                                hidden=32)
+    geom = PCP.cnn_geom(model)
+    cfg = ppo_mod.PPOConfig(horizon=32, num_envs=256, epochs=4,
+                            num_minibatches=2, lr=3e-3, ent_coef=0.0)
+    opt = ppo_mod.make_optimizer(cfg)
+    builders = {
+        "scan": lambda: jax.jit(ppo_mod.make_train_step(
+            model.apply, opt, env.params, env.statics, cfg)),
+        "megakernel": lambda: jax.jit(PCP.make_pallas_cnn_train_step(
+            opt, env.params, env.statics, cfg, geom=geom, mode="reference")),
+    }
+    budgets = {}
+    for name, build in builders.items():
+        step = build()
+        ns = []
+        for seed in (0, 1):
+            runner = ppo_mod.init_runner(model, env, cfg, seed=seed)
+            ns.append(_updates_to_threshold(step, runner, threshold=0.2,
+                                            max_updates=160))
+        budgets[name] = float(np.mean(ns))
+
+    ratio = max(budgets.values()) / min(budgets.values())
+    assert ratio <= 1.5, budgets
+
+
 def test_recurrent_trainers_cross_threshold_in_comparable_budget():
     """The recurrent analogue: the scan recurrent trainer (ppo_rnn) and the
     fully-fused recurrent megakernel trainer (ppo_rnn_pallas, reference

@@ -524,6 +524,69 @@ def test_cnn_acting_kernel_compiled_on_tpu():
     assert np.isfinite(np.asarray(fk.pos)).all()
 
 
+def test_cnn_lstm_rollout_kernels_compiled_on_tpu():
+    """Compiled pixel-recurrent (CNN-encoder LSTM) rollout kernels on
+    silicon: the trajectory kernel emits sane planes + anchors and the
+    acting kernel's step-0 policy mean tracks CNNLSTMActorCritic.apply at
+    bf16-matmul tolerance."""
+    from drone_tpu.models import CNNLSTMActorCritic
+    from drone_tpu.ops import pallas_acting_lstm as PAL
+    from drone_tpu.ops.pallas_acting_traj import TP_ACT0, TP_VAL
+
+    env = drone_tpu.DroneEnv()
+    model = CNNLSTMActorCritic()
+    N, T, bptt = 1024, 16, 8
+    carry = model.initial_carry((N,))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)),
+                        jax.tree_util.tree_map(lambda c: c[:1], carry))
+    state = env.init_batch(7, N)
+    obs = env.observe_batch(state)
+    mean, _, value, _ = jax.jit(model.apply)(params, obs, carry)
+
+    _, _, planes, seg, stats = PAL.traj_lstm_rollout_pallas(
+        state, params, carry, env.params, env.statics, T, bptt=bptt,
+        lanes_per_block=N, stochastic=False)
+    act_k = planes[0, TP_ACT0:TP_ACT0 + 4].reshape(4, N).T
+    np.testing.assert_allclose(np.asarray(act_k), np.asarray(mean),
+                               rtol=1e-2, atol=4e-3)
+    np.testing.assert_allclose(np.asarray(planes[0, TP_VAL].reshape(N)),
+                               np.asarray(value), rtol=1e-2, atol=8e-3)
+    assert seg[0].shape == (T // bptt, N, model.hidden)
+    assert np.isfinite(float(stats["reward_sum"]))
+
+    fk, ck, stats_a = PAL.lstm_act_rollout_pallas(
+        env.init_batch(7, N), params, carry, env.params, env.statics, T)
+    assert np.isfinite(np.asarray(fk.pos)).all()
+    assert np.isfinite(np.asarray(ck[0])).all()
+    assert np.isfinite(float(stats_a["reward_sum"]))
+
+
+def test_cnn_lstm_megakernel_train_step_on_tpu():
+    """Full compiled pixel-recurrent megakernel train step on silicon
+    (CNN-encoder rollout kernel + BPTT update kernel with the conv
+    fwd/bwd hook + fused adam): a few updates, finite loss, finite params —
+    the compile-and-run gate for the fourth policy family's flagship path."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_rnn
+    from drone_tpu import ppo_rnn_pallas as PRP
+    from drone_tpu.models import CNNLSTMActorCritic
+
+    env = drone_tpu.DroneEnv()
+    model = CNNLSTMActorCritic()
+    cfg = ppo_mod.PPOConfig(horizon=16, num_envs=2048, epochs=2,
+                            num_minibatches=2, bptt_horizon=8)
+    opt = ppo_mod.make_optimizer(cfg)
+    runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+    runner = runner.replace(opt_state=PRP.init_fused_opt_state(runner.params))
+    step = jax.jit(PRP.make_pallas_rnn_train_step(
+        opt, env.params, env.statics, cfg, fused_optimizer=True))
+    for _ in range(3):
+        runner, m = step(runner)
+        assert np.isfinite(float(m["loss"])), m
+    for leaf in jax.tree_util.tree_leaves(runner.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_cnn_update_kernel_grads_on_tpu():
     """Compiled CNN update megakernel vs the jnp mirror on the chip
     (Mosaic vs XLA:TPU matmul pass structures -> bf16-scale tolerance)."""
