@@ -453,14 +453,41 @@ def ppo_lstm_update_reference(planes, advret, snap, perm_mb, tensors,
     return grads, jnp.sum(st, axis=(1, 2))
 
 
-def pick_sc(bptt: int, cap: int = 4) -> int:
-    """Checkpoint chunk: the largest divisor of bptt <= cap. cap=4 ~=
-    sqrt(16) balances the boundary-carry and per-step-carry VMEM working
-    sets at the production bptt=16 (see module docstring)."""
-    best = 1
-    for k in range(1, min(cap, bptt) + 1):
-        if bptt % k == 0:
-            best = k
+def pick_sc(bptt: int, max_chunks: int = 8, min_sc: int = 1) -> int:
+    """Checkpoint chunk length: the divisor of bptt minimizing the BPTT
+    recompute overhead — pass A re-forwards (bptt - sc) steps and pass B
+    recomputes an average (sc-1)/2 entering carries per step, so the cost
+    in forward-equivalents is (bptt-sc)/bptt + (sc-1)/2 — subject to the
+    chunk count bptt/sc <= max_chunks: the pass-B chunk loop is
+    Python-level, so Mosaic stack-allocates one boundary carry pair plus
+    one unrolled chunk body PER CHUNK (measured: 16 chunks at
+    bptt=16/sc=1 fails to compile at the production geometry; 8 compile
+    at every production shape, dense and cnn encoders).
+
+    min_sc exists because sc == 1 removes the per-step lax loops entirely
+    (fori_loop with a 0- or 1-step trip count lowers to inline code), so
+    each Python-level chunk's recompute body lands on the Mosaic stack
+    CUMULATIVELY instead of sharing one loop-body allocation — the exact
+    failure mode the CLAUDE.md "rolled loops" invariant documents. The
+    dense encoder's inline body is small enough (measured: bptt=8 sc=1
+    compiles and is 1.4x faster than sc=2 at the production geometry); the
+    CNN encoder's conv backward is not (bptt=8 sc=1 exceeds even the
+    128 MB vmem cap), so the caller passes min_sc=2 for encoder="cnn".
+
+    Measured on v5e at 64k envs / H=128 / rbu=8 (the roofline pass,
+    DESIGN.md §3): bptt=16 sc=2 33.2 ms/minibatch vs the old sqrt-balanced
+    sc=4's 38.1 ms (1.15x); bptt=8 sc=1 24.4 ms vs sc=2's 34.4 ms (1.4x);
+    cnn_lstm bptt=16 sc=2 114.4 ms vs sc=4's 126.4 ms (1.10x).
+    Gradients are bitwise sc-invariant (every recomputed carry is produced
+    by the same op chain from the segment anchor), so this is a pure
+    performance knob."""
+    best, best_cost = bptt, None
+    for sc in range(max(1, min_sc), bptt + 1):
+        if bptt % sc or bptt // sc > max_chunks:
+            continue
+        cost = (bptt - sc) / bptt + (sc - 1) / 2.0
+        if best_cost is None or cost < best_cost:
+            best, best_cost = sc, cost
     return best
 
 
@@ -492,7 +519,7 @@ def ppo_lstm_update(planes, advret, snap, perm_mb, tensors, log_std, *,
     T = planes.shape[0]
     assert T % bptt == 0, (T, bptt)
     if sc is None:
-        sc = pick_sc(bptt)
+        sc = pick_sc(bptt, min_sc=2 if encoder == "cnn" else 1)
     assert bptt % sc == 0, (bptt, sc)
     if mode == "kernel" and not interpret and bptt > MAX_KERNEL_BPTT:
         raise ValueError(

@@ -13,6 +13,7 @@ statistical, covered by tests/test_pallas_acting.py in interpret mode).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -654,3 +655,65 @@ def test_cnn_megakernel_train_step_on_tpu():
         assert np.isfinite(float(m["loss"])), m
     for leaf in jax.tree_util.tree_leaves(runner.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+# --- On-silicon learning gates beyond hover: 2 tasks x 2 trainer families
+# (plus a racing smoke). Budgets calibrated on the chip 2026-08-20
+# (_gates_calib.py sweep, 120-update curves at these exact configs):
+#   mlp/waypoint   first5=-0.363 last5=+0.044  (improvement +0.41)
+#   mlp/racing(60) first5=-0.319 last5=+0.046  (improvement +0.37)
+#   lstm/hover     first5=-0.098 last5=+0.459  (improvement +0.56)
+#   lstm/waypoint  first5=-0.378 last5=+0.157  (improvement +0.54)
+# Thresholds sit at ~half the measured improvement. Updates are cheap on
+# chip (~0.1 s incl. the value-fetch); Mosaic compile dominates each row.
+_GATE_ROWS = [
+    ("mlp", "waypoint", 120, 3e-3, 0.20),
+    ("mlp", "racing", 60, 3e-3, 0.15),
+    ("lstm", "hover", 120, 5e-3, 0.25),
+    ("lstm", "waypoint", 120, 5e-3, 0.25),
+]
+
+
+@pytest.mark.parametrize("family,task,n,lr,margin", _GATE_ROWS,
+                         ids=[f"{f}-{t}" for f, t, *_ in _GATE_ROWS])
+def test_megakernel_learning_matrix_on_tpu(family, task, n, lr, margin):
+    """END-TO-END learning on silicon beyond the hover/MLP gate
+    (test_megakernel_learning_gate_on_tpu): compiled megakernel updates of
+    waypoint/racing through the MLP trainer and hover/waypoint through the
+    recurrent (truncated-BPTT) trainer must improve per-step reward by the
+    calibrated margin (the on-chip analogue of the CPU-tier
+    test_pallas_traj/test_pallas_rnn learning gates; VERDICT r4 item #7)."""
+    from drone_tpu import ppo as ppo_mod
+    from drone_tpu import ppo_pallas, ppo_rnn, ppo_rnn_pallas
+    from drone_tpu.models import LSTMActorCritic
+
+    env = drone_tpu.DroneEnv(task=task)
+    if family == "mlp":
+        model = ActorCritic(hidden=(32, 32))
+        cfg = ppo_mod.PPOConfig(horizon=32, num_envs=2048, epochs=4,
+                                num_minibatches=2, lr=lr, ent_coef=0.0)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        runner = runner.replace(
+            opt_state=ppo_pallas.init_fused_opt_state(runner.params))
+        step = jax.jit(ppo_pallas.make_pallas_train_step(
+            opt, env.params, env.statics, cfg, fused_optimizer=True))
+    else:
+        model = LSTMActorCritic(hidden=32, encoder=(32,))
+        cfg = ppo_mod.PPOConfig(horizon=32, num_envs=2048, epochs=4,
+                                num_minibatches=2, lr=lr, ent_coef=0.0,
+                                bptt_horizon=16)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_rnn.init_recurrent_runner(model, env, cfg, seed=0)
+        runner = runner.replace(
+            opt_state=ppo_rnn_pallas.init_fused_opt_state(runner.params))
+        step = jax.jit(ppo_rnn_pallas.make_pallas_rnn_train_step(
+            opt, env.params, env.statics, cfg, fused_optimizer=True))
+    rewards = []
+    for _ in range(n):
+        runner, m = step(runner)
+        rewards.append(float(m["reward_mean"]))
+    first = np.mean(rewards[:5])
+    last = np.mean(rewards[-5:])
+    assert np.isfinite(last)
+    assert last > first + margin, (task, family, first, last)
