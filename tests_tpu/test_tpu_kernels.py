@@ -657,13 +657,16 @@ def test_cnn_megakernel_train_step_on_tpu():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
-# --- On-silicon learning gates beyond hover: 2 tasks x 2 trainer families
+# --- On-silicon learning gates beyond hover: 2 tasks x 3 trainer families
 # (plus a racing smoke). Budgets calibrated on the chip 2026-08-20
 # (_gates_calib.py sweep, 120-update curves at these exact configs):
 #   mlp/waypoint   first5=-0.363 last5=+0.044  (improvement +0.41)
 #   mlp/racing(60) first5=-0.319 last5=+0.046  (improvement +0.37)
 #   lstm/hover     first5=-0.098 last5=+0.459  (improvement +0.56)
 #   lstm/waypoint  first5=-0.378 last5=+0.157  (improvement +0.54)
+#   cnn/hover      first5=-0.088 last5=+0.214  (improvement +0.30; lr=3e-3
+#                  peaks +0.43 then collapses — the pixel policy needs the
+#                  smaller step, so its row runs lr=1e-3)
 # Thresholds sit at ~half the measured improvement. Updates are cheap on
 # chip (~0.1 s incl. the value-fetch); Mosaic compile dominates each row.
 _GATE_ROWS = [
@@ -671,6 +674,7 @@ _GATE_ROWS = [
     ("mlp", "racing", 60, 3e-3, 0.15),
     ("lstm", "hover", 120, 5e-3, 0.25),
     ("lstm", "waypoint", 120, 5e-3, 0.25),
+    ("cnn", "hover", 120, 1e-3, 0.15),
 ]
 
 
@@ -679,13 +683,15 @@ _GATE_ROWS = [
 def test_megakernel_learning_matrix_on_tpu(family, task, n, lr, margin):
     """END-TO-END learning on silicon beyond the hover/MLP gate
     (test_megakernel_learning_gate_on_tpu): compiled megakernel updates of
-    waypoint/racing through the MLP trainer and hover/waypoint through the
-    recurrent (truncated-BPTT) trainer must improve per-step reward by the
-    calibrated margin (the on-chip analogue of the CPU-tier
-    test_pallas_traj/test_pallas_rnn learning gates; VERDICT r4 item #7)."""
+    waypoint/racing through the MLP trainer, hover/waypoint through the
+    recurrent (truncated-BPTT) trainer, and hover through the pixel/CNN
+    trainer must improve per-step reward by the calibrated margin (the
+    on-chip analogue of the CPU-tier test_pallas_traj/test_pallas_rnn/
+    test_pallas_cnn learning gates; VERDICT r4 item #7)."""
     from drone_tpu import ppo as ppo_mod
     from drone_tpu import ppo_pallas, ppo_rnn, ppo_rnn_pallas
-    from drone_tpu.models import LSTMActorCritic
+    from drone_tpu import ppo_cnn_pallas
+    from drone_tpu.models import LSTMActorCritic, PatchCNNActorCritic
 
     env = drone_tpu.DroneEnv(task=task)
     if family == "mlp":
@@ -698,6 +704,19 @@ def test_megakernel_learning_matrix_on_tpu(family, task, n, lr, margin):
             opt_state=ppo_pallas.init_fused_opt_state(runner.params))
         step = jax.jit(ppo_pallas.make_pallas_train_step(
             opt, env.params, env.statics, cfg, fused_optimizer=True))
+    elif family == "cnn":
+        model = PatchCNNActorCritic()
+        geom = ppo_cnn_pallas.cnn_geom(model)
+        cfg = ppo_mod.PPOConfig(horizon=32, num_envs=2048, epochs=4,
+                                num_minibatches=2, lr=lr, ent_coef=0.0)
+        opt = ppo_mod.make_optimizer(cfg)
+        runner = ppo_mod.init_runner(model, env, cfg, seed=0)
+        runner = runner.replace(
+            opt_state=ppo_cnn_pallas.init_fused_opt_state(
+                runner.params, geom))
+        step = jax.jit(ppo_cnn_pallas.make_pallas_cnn_train_step(
+            opt, env.params, env.statics, cfg, geom=geom,
+            fused_optimizer=True))
     else:
         model = LSTMActorCritic(hidden=32, encoder=(32,))
         cfg = ppo_mod.PPOConfig(horizon=32, num_envs=2048, epochs=4,
