@@ -136,7 +136,7 @@ def bench_policy_rollout(env, N=131072, T=256, iters=4):
     return measure(run, lambda: float(box[1]), N * T * iters)
 
 
-def bench_traj_rollout(env, N=131072, T=512, iters=2):
+def bench_traj_rollout(env, N=131072, T=512, iters=4):
     """Trajectory-emitting rollout kernel alone (the megakernel trainer's
     rollout phase): fused policy+env with the full PPO training planes
     streamed to HBM in the kernel-natural layout.
@@ -144,7 +144,9 @@ def bench_traj_rollout(env, N=131072, T=512, iters=2):
     Shapes amortize this deployment's ~30 ms per-dispatch tunnel latency
     (measured: a 64k x 128 call is ~75% dispatch overhead; the marginal
     rate from a T=128 vs 256 delta is ~840M steps/s, and inside the
-    single-jit train step there is no per-call dispatch at all)."""
+    single-jit train step there is no per-call dispatch at all). iters=4:
+    at iters=2 a single tunnel hiccup dominated a repeat (0.24 spread in
+    the r5 run); doubling the timed region halves its weight."""
     from drone_tpu.models import ActorCritic
     from drone_tpu.ops.pallas_acting_traj import traj_act_rollout_pallas_planes
 
@@ -479,6 +481,7 @@ def main(cfg=None):
             print(f"secondary bench {key} failed: {e!r:.200}",
                   file=sys.stderr)
             secondary[key] = None
+            spread[key] = None  # keep secondary/spread key-symmetric
     parts = [f"{k}={v / 1e6:.1f}M" for k, v in secondary.items() if v]
     print("secondary: " + " ".join(parts), file=sys.stderr)
     target_per_chip = 100e6 / 16.0

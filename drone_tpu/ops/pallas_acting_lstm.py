@@ -51,6 +51,7 @@ from drone_tpu.ops.pallas_acting_traj import (
     TP_REW,
     TP_VAL,
     Traj,
+    _dot32,
     _gauss4_planes,
     _sample_logp,
     pick_time_chunk,
@@ -77,8 +78,16 @@ def lstm_encoder(X, enc, dot):
     return acts
 
 
-def encode_features(X, enc, dot, encoder="dense", geom=None, gx=None,
-                    gy=None, dtype=jnp.float32):
+def enc_flat(enc):
+    """Flatten the encoder [(W, b), ...] pairs into the flat tuple order
+    cnn_encode/cnn_encoder_bwd consume (W0, b0, W1, b1, Wt, bt) — THE one
+    packing definition (used by encode_features, _lstm_step_fwd and the
+    BPTT encoder backward; keep them in lock-step through this helper)."""
+    return tuple(x for pair in enc for x in pair)
+
+
+def encode_features(X, enc, dtype=jnp.float32, encoder="dense", geom=None,
+                    gx=None, gy=None):
     """THE policy feature tower switch: X (OBS_DIM, L) -> LSTM input.
 
     encoder="dense": the tanh dense stack (lstm_encoder; enc = [(W, b_col)
@@ -87,13 +96,15 @@ def encode_features(X, enc, dot, encoder="dense", geom=None, gx=None,
     pallas_acting_cnn.cnn_encode — the SAME shared function the CNN
     rollout/update kernels evaluate, one evaluation order everywhere).
     Shared verbatim by the recurrent rollout kernels, their jnp mirrors,
-    and the BPTT update kernel."""
+    and the BPTT update kernel. Takes the compute DTYPE (not a caller dot)
+    so both branches derive their matmul from the one _dot32 formulation —
+    a caller can't hand the dense branch a bf16 dot while the cnn branch
+    silently runs f32."""
     if encoder == "dense":
-        return lstm_encoder(X, enc, dot)[-1]
+        return lstm_encoder(X, enc, lambda a, b: _dot32(a, b, dtype))[-1]
     from drone_tpu.ops.pallas_acting_cnn import cnn_encode
 
-    flat = (enc[0][0], enc[0][1], enc[1][0], enc[1][1], enc[2][0], enc[2][1])
-    return cnn_encode(X, flat, gx, gy, geom, dtype)
+    return cnn_encode(X, enc_flat(enc), gx, gy, geom, dtype)
 
 
 def lstm_gates(x, h, cc, wi, wh, bh, dot):
@@ -115,12 +126,28 @@ def lstm_gates(x, h, cc, wi, wh, bh, dot):
 def lstm_encoder_kind(params):
     """(encoder kind, CnnGeom|None) from the param structure — static at
     trace time (dict keys, array shapes). "cnn" = the pixel-recurrent
-    CNNLSTMActorCritic (conv0/conv1/trunk tower); "dense" otherwise."""
+    CNNLSTMActorCritic (conv0/conv1/trunk tower); "dense" = the enc_h*
+    tower. A policy built with LSTMActorCritic(encoder_module=...) and any
+    OTHER encoder structure is rejected here (the kernels would otherwise
+    silently treat it as an empty dense encoder and fail with an opaque
+    matmul shape error deep in tracing); such policies train on the scan
+    tier (ppo_rnn / run.rollout=scan), which runs model.apply directly."""
     p = params["params"] if "params" in params else params
     if "conv0" in p:
         from drone_tpu.ops.pallas_acting_cnn import infer_cnn_geom
 
         return "cnn", infer_cnn_geom(p)
+    known = {"lstm", "actor_mean", "critic_value", "log_std", "trunk",
+             "conv1"}
+    unknown = sorted(k for k in p
+                     if k not in known and not k.startswith("enc_h"))
+    if unknown:
+        raise ValueError(
+            f"unrecognized LSTM encoder params {unknown}: the recurrent "
+            "kernels support the dense enc_h* tower and the "
+            "conv0/conv1/trunk patch-CNN tower; custom encoder_module "
+            "policies run on the scan trainer (ppo_rnn with "
+            "rollout='scan')")
     return "dense", None
 
 
@@ -199,8 +226,8 @@ def _kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref, *refs,
 
     def body(t, carry):
         s, h, cc, acc = carry
-        x = encode_features(PR.obs_matrix(s, L), enc_c, dot, encoder, geom,
-                            gx, gy)
+        x = encode_features(PR.obs_matrix(s, L), enc_c, encoder=encoder,
+                            geom=geom, gx=gx, gy=gy)
         *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mean = dot(head_w, h2) + head_b[:, None]  # (4, L)
         a0 = mean[0].reshape(shape)
@@ -371,7 +398,8 @@ def _lstm_traj_kernel(pf_ref, pi_ref, fs_ref, us_ref, st_ref, h0_ref, c0_ref,
     def body(s, carry):
         c, h, cc, acc = carry
         X = PR.obs_matrix(c, L)
-        x = encode_features(X, enc_c, dot, encoder, geom, gx, gy)
+        x = encode_features(X, enc_c, encoder=encoder, geom=geom,
+                            gx=gx, gy=gy)
         *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mx = dot(head_w, h2) + head_b[:, None]     # (4, L)
         vx = dot(vh_w, h2) + vh_b[:, None]         # (1, L)
@@ -600,7 +628,8 @@ def traj_lstm_rollout_reference(state: EnvState, policy_params, carry,
         s, h, cc = c
         obs = jax.vmap(env_mod.observe)(s)            # (B, OBS_DIM)
         X = obs.T
-        x = encode_features(X, enc_c, dot, encoder, geom, gx, gy)
+        x = encode_features(X, enc_c, encoder=encoder, geom=geom,
+                            gx=gx, gy=gy)
         *_, cc2, _th, h2 = lstm_gates(x, h, cc, wi, wh, bh_c, dot)
         mx = dot(head[0], h2) + head[1][:, None]
         vx = dot(vhead[0], h2) + vhead[1][:, None]

@@ -102,9 +102,10 @@ def _lstm_step_fwd(X, c, h, enc, wi, wh, bh, dtype, encoder="dense",
     if encoder == "cnn":
         from drone_tpu.ops.pallas_acting_cnn import cnn_encode
 
-        flat = (enc[0][0], enc[0][1], enc[1][0], enc[1][1], enc[2][0],
-                enc[2][1])
-        _, acts = cnn_encode(X, flat, gx, gy, geom, dtype, want_acts=True)
+        from drone_tpu.ops.pallas_acting_lstm import enc_flat
+
+        _, acts = cnn_encode(X, enc_flat(enc), gx, gy, geom, dtype,
+                             want_acts=True)
     else:
         acts = lstm_encoder(X, enc, dot)
     gi, gf, gg, go, c2, th, h2 = lstm_gates(acts[-1], h, c, wi, wh, bh, dot)
@@ -239,9 +240,10 @@ def _segment_grads(rp, ra, c0, h0, tensors, ls, co, sc, bptt, dtype,
                 # conv0), dx = d loss / d trunk output at this step
                 from drone_tpu.ops.pallas_update_cnn import cnn_encoder_bwd
 
-                flat = (enc[0][0], enc[0][1], enc[1][0], enc[1][1],
-                        enc[2][0], enc[2][1])
-                enc_g = cnn_encoder_bwd(dx, acts, flat, gx, gy, geom, dtype)
+                from drone_tpu.ops.pallas_acting_lstm import enc_flat
+
+                enc_g = cnn_encoder_bwd(dx, acts, enc_flat(enc), gx, gy,
+                                        geom, dtype)
                 for k in range(6):
                     g[k] = g[k] + enc_g[k]
             else:

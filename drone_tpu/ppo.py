@@ -308,10 +308,16 @@ def make_train_step(
                             jax.tree_util.tree_map(jnp.add, a_acc, aux)), None
 
                 zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+                # derive the aux accumulator from loss_fn's own output
+                # structure (eval_shape = no FLOPs) so a metric added to
+                # loss_fn can never desync the scan carry tree
+                _, aux_shape = jax.eval_shape(
+                    lambda c: loss_fn(params, c),
+                    jax.tree_util.tree_map(lambda x: x[0], chunks))
                 zeros = (zero_g, jnp.float32(0.0),
-                         {k: jnp.float32(0.0)
-                          for k in ("pg_loss", "v_loss", "entropy",
-                                    "approx_kl", "clipfrac")})
+                         jax.tree_util.tree_map(
+                             lambda s: jnp.zeros(s.shape, s.dtype),
+                             aux_shape))
                 (grads, loss, aux), _ = jax.lax.scan(accum, zeros, chunks)
                 inv = 1.0 / cfg.grad_accum
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)

@@ -163,7 +163,7 @@ def _lstm_value(obs, carry, params, dtype=jnp.float32):
     dot = lambda a, b: _dot32(a, b, dtype)
     enc_c = [(w, b[:, None]) for w, b in enc]
     bh_c = [b[:, None] for b in bh]
-    x = PAL.encode_features(obs.T, enc_c, dot, encoder, geom, gx, gy, dtype)
+    x = PAL.encode_features(obs.T, enc_c, dtype, encoder, geom, gx, gy)
     c = jnp.asarray(carry[0], jnp.float32).T
     h = jnp.asarray(carry[1], jnp.float32).T
     *_, h2 = PAL.lstm_gates(x, h, c, wi, wh, bh_c, dot)

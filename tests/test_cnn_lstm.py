@@ -142,3 +142,30 @@ def test_train_py_cnn_lstm_wiring(tmp_path):
     stats = evaluate(cfg, runner=runner, episodes=4)
     assert stats["episodes"] >= 4
     assert np.isfinite(stats["ep_return_mean"])
+
+
+def test_encoder_module_params_rejected_by_kernel_dispatch():
+    """A custom encoder_module policy must be REJECTED by the recurrent
+    kernels' encoder dispatch with a clear error (not silently classified
+    as an empty dense encoder and left to die in an opaque matmul shape
+    mismatch deep in kernel tracing). The scan tier (ppo_rnn, above) is
+    the supported path for arbitrary encoders."""
+    import pytest
+
+    from drone_tpu.ops.pallas_acting_lstm import lstm_encoder_kind
+
+    enc = PatchCNNEncoder(res=8, patch0=2, patch1=2, channels=(8, 8),
+                          hidden=16)
+    model = LSTMActorCritic(hidden=16, encoder_module=enc)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)),
+                        model.initial_carry((1,)))
+    with pytest.raises(ValueError, match="encoder_module"):
+        lstm_encoder_kind(params)
+    # the two kernel-supported structures still classify
+    dense = LSTMActorCritic(hidden=16, encoder=(16,))
+    pd = dense.init(jax.random.PRNGKey(0), jnp.zeros((1, 13)),
+                    dense.initial_carry((1,)))
+    assert lstm_encoder_kind(pd)[0] == "dense"
+    pc = tiny_model().init(jax.random.PRNGKey(0), jnp.zeros((1, 13)),
+                           tiny_model().initial_carry((1,)))
+    assert lstm_encoder_kind(pc)[0] == "cnn"
